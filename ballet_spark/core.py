@@ -1,0 +1,219 @@
+"""Core model: Feature definitions compiled to one Catalyst plan.
+
+Re-expresses the reference's abstractions (ballet/feature.py:47-66,
+ballet/pipeline.py:19-42, ballet/transformer.py:25-50,290-309) as
+declarative Spark operators:
+
+- a :class:`Feature` binds *input columns* to a *transformer* and names
+  its outputs — the reference's ``Feature(input, transformer, name,
+  output)`` (ballet/feature.py:47-66);
+- a transformer is a :class:`~ballet_spark.operators.base.SparkTransformer`
+  with a **fit stage** (aggregations over the train slice producing a
+  small params object/table — never recomputed on transform rows, the
+  reference's leakage discipline, ballet/eng/base.py:94-148) and a
+  **transform stage** that compiles to Column expressions or, when a
+  params-table join / grouped pandas UDF is required, a DataFrame →
+  DataFrame step;
+- a :class:`FeatureEngineeringPipeline` fits every feature on the train
+  slice and merges all transform stages into the minimum number of
+  selects/joins, so Catalyst sees one wide plan and prunes/pushes/CSEs
+  across features (ballet/pipeline.py:19-42 concatenation semantics).
+
+Desugaring mirrors ballet/transformer.py:290-309: ``None`` → identity,
+a Python callable → a function transformer, a tuple ``(input,
+transformer)`` → a subset transformer on other columns, a nested
+``Feature`` → reuse of that feature's transformer on its own inputs,
+and a list → sequential composition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ballet_spark.operators.base import (
+    Identity,
+    SparkFunctionTransformer,
+    SparkTransformer,
+    SubsetTransformer,
+    TransformerPipeline,
+)
+
+
+class LeakageError(ValueError):
+    """A feature attempted to read data after its as-of timestamp."""
+
+
+@dataclass
+class PipelineContext:
+    """Execution context shared by all operators of one pipeline.
+
+    ``entity_col``/``time_col`` define the point-in-time key (url,
+    warc_ts per BASELINE.json). ``point_in_time`` arms the compile-time
+    leakage guard: window frames must end at or before the current row
+    and ``lead``/future frames are rejected (SURVEY.md §4.2) unless the
+    transformer is explicitly whitelisted as a label builder.
+    """
+
+    entity_col: str = "url"
+    time_col: str = "warc_ts"
+    point_in_time: bool = True
+
+    @property
+    def keys(self) -> list[str]:
+        return [self.entity_col, self.time_col]
+
+    def check_frame(self, end_offset, what: str = "window") -> None:
+        """Leakage guard: reject frames extending past the current row."""
+        if self.point_in_time and end_offset is not None and end_offset > 0:
+            raise LeakageError(
+                f"{what} reads {end_offset} rows/units past the as-of "
+                f"timestamp; point-in-time mode forbids future data"
+            )
+
+
+def _hash_callable(fn: Callable) -> str:
+    name = getattr(fn, "__name__", "selector")
+    return f"{name}_{hashlib.md5(repr(fn).encode()).hexdigest()[:6]}"
+
+
+def desugar_transformer(spec) -> SparkTransformer:
+    """ballet/transformer.py:290-309 sugar, Spark-side."""
+    if spec is None:
+        return Identity()
+    if isinstance(spec, SparkTransformer):
+        return spec
+    if isinstance(spec, Feature):
+        return SubsetTransformer(spec.input, desugar_transformer(spec.transformer))
+    if isinstance(spec, tuple) and len(spec) == 2:
+        return SubsetTransformer(spec[0], desugar_transformer(spec[1]))
+    if isinstance(spec, (list,)):
+        return TransformerPipeline([desugar_transformer(s) for s in spec])
+    if callable(spec):
+        return SparkFunctionTransformer(spec)
+    raise TypeError(f"cannot desugar transformer spec: {spec!r}")
+
+
+@dataclass
+class Feature:
+    """``Feature(input, transformer, name, output)``.
+
+    ``input``: column name, list of names, or a callable evaluated
+    against the DataFrame schema at compile time (the reference
+    evaluates callables against the pandas frame at fit time,
+    ballet/feature.py:25-31).
+    """
+
+    input: str | Sequence[str] | Callable
+    transformer: object = None
+    name: str | None = None
+    output: str | None = None
+    description: str = ""
+    source: str = ""
+    options: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self._transformer = desugar_transformer(self.transformer)
+        if self.name is None and self.output is None:
+            if isinstance(self.input, str):
+                base = self.input
+            elif callable(self.input) and not isinstance(self.input, (list, tuple)):
+                base = _hash_callable(self.input)
+            else:
+                base = "_".join(self.input)
+            self.name = f"feat_{base}"
+
+    @property
+    def alias(self) -> str:
+        return self.output or self.name.replace(" ", "_").lower()
+
+    def resolve_input(self, df: DataFrame) -> list[str]:
+        if isinstance(self.input, str):
+            return [self.input]
+        if callable(self.input) and not isinstance(self.input, (list, tuple)):
+            sel = self.input(df)
+            return [sel] if isinstance(sel, str) else list(sel)
+        return list(self.input)
+
+    # -- single-feature convenience (reference Feature.pipeline,
+    #    ballet/feature.py:91-123) ------------------------------------
+    def pipeline(self, **ctx_kwargs) -> "FeatureEngineeringPipeline":
+        return FeatureEngineeringPipeline([self], **ctx_kwargs)
+
+
+def output_names(feature: Feature, n_out: int) -> list[str]:
+    """Multi-output aliasing ``alias_0..alias_{q-1}``
+    (ballet/pipeline.py:48-65)."""
+    if n_out == 1:
+        return [feature.alias]
+    return [f"{feature.alias}_{i}" for i in range(n_out)]
+
+
+class FittedFeaturePipeline:
+    """Result of :meth:`FeatureEngineeringPipeline.fit` — immutable
+    fitted states; ``transform`` never re-aggregates over its input."""
+
+    def __init__(self, pipeline: "FeatureEngineeringPipeline", states: list):
+        self.pipeline = pipeline
+        self._states = states
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ctx = self.pipeline.ctx
+        keys = [k for k in ctx.keys if k in df.columns]
+        expr_outputs: list[Column] = []
+        cur = df
+        df_names: list[str] = []
+
+        for feat, tr in zip(self.pipeline.features, self._states):
+            cols = feat.resolve_input(df)
+            exprs = tr.transform_exprs([F.col(c) for c in cols], ctx)
+            if exprs is not None:
+                names = output_names(feat, len(exprs))
+                expr_outputs.extend(e.alias(n) for e, n in zip(exprs, names))
+            else:
+                # params-table join / grouped pandas UDF path: chains on
+                # ``cur``, must preserve existing columns
+                cur, names = tr.transform_df(cur, cols, feat.alias, ctx)
+                df_names.extend(names)
+
+        # Pure-expr features resolve by name against ``cur`` (a superset
+        # of df's columns), so one final select merges both paths and
+        # Catalyst prunes/CSEs across all features.
+        return cur.select(
+            *[F.col(k) for k in keys],
+            *expr_outputs,
+            *[F.col(n) for n in df_names],
+        )
+
+
+class FeatureEngineeringPipeline:
+    """Applies each feature and horizontally concatenates the outputs
+    (ballet/pipeline.py:19-42). Empty feature list ⇒ key-only frame,
+    the analog of ``NullTransformer``'s ``np.empty((n, 0))``
+    (ballet/eng/misc.py:119-127)."""
+
+    def __init__(
+        self,
+        features: Sequence[Feature],
+        entity_col: str = "url",
+        time_col: str = "warc_ts",
+        point_in_time: bool = True,
+    ):
+        self.features = list(features)
+        self.ctx = PipelineContext(entity_col, time_col, point_in_time)
+
+    def fit(self, train_df: DataFrame, y: DataFrame | None = None) -> FittedFeaturePipeline:
+        states = []
+        for feat in self.features:
+            cols = feat.resolve_input(train_df)
+            tr = feat._transformer.copy()
+            tr.fit(train_df, cols, self.ctx, y=y)
+            states.append(tr)
+        return FittedFeaturePipeline(self, states)
+
+    def fit_transform(self, df: DataFrame, y: DataFrame | None = None) -> DataFrame:
+        return self.fit(df, y).transform(df)

@@ -1,0 +1,204 @@
+"""Text/HTML kernels — vectorized pandas/Arrow UDFs + JVM expressions.
+
+Per BASELINE.json input_hint: all text/HTML-derived features are
+computed in vectorized pandas/Arrow UDFs (no per-row Python), and
+simple ones stay JVM-side as Column expressions (whole-stage codegen).
+The reference's free-form per-feature callables (e.g. ``X.str.len()``
+in docs/fragments/feature-engineering-guide-custom-transformer.py) map
+to this module.
+
+Every pandas kernel is exposed twice:
+- ``*_pdf`` — the plain pandas function, reused verbatim by the pytest
+  oracle (single code path ⇒ byte-identical / allclose by construction);
+- a Spark Column builder wrapping it in ``F.pandas_udf`` (or a pure
+  expression when the semantics are JVM-expressible).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ballet_spark.sources.webtext import extract_text, extract_title
+
+# --------------------------------------------------------------------
+# HTML → text (byte-identical contract)
+# --------------------------------------------------------------------
+
+
+def extract_text_pdf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_text(bytes(b)) if b is not None else None)
+
+
+def extract_title_pdf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_title(bytes(b)) if b is not None else None)
+
+
+def extract_text_col(html: Column) -> Column:
+    return F.pandas_udf(extract_text_pdf, "string")(html)
+
+
+def extract_title_col(html: Column) -> Column:
+    return F.pandas_udf(extract_title_pdf, "string")(html)
+
+
+# --------------------------------------------------------------------
+# JVM-side scalar text features (no Python in the hot path)
+# --------------------------------------------------------------------
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank string ⇒ 0 tokens."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: words, numbers, or single
+    punctuation marks (array<string>)."""
+    return F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(word_tokens(text)).cast("bigint")
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    digits = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def upper_ratio(text: Column) -> Column:
+    n = F.length(text)
+    upper = n - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    return F.when(n > 0, upper.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = token_count(text)
+    no_space = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(toks > 0, no_space.cast("double") / toks.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "was", "at", "by", "that", "this", "be",
+]
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    sw = stopwords or _STOPWORDS
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = token_count(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    rewards mid-length docs and prose-like character statistics,
+    penalizes digit/punct-heavy boilerplate. Pure JVM expression."""
+    n_chars = F.length(text).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    penalty = digit_ratio(text) + punct_ratio(text)
+    score = len_score * (F.lit(1.0) - F.least(penalty, F.lit(1.0)))
+    return F.round(score, 6)
+
+
+# --------------------------------------------------------------------
+# Language identification (n-gram/stopword heuristic, pandas kernel)
+# --------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "it"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "los", "que", "de", "y", "en", "un", "una", "por"},
+}
+
+
+def lang_id_pdf(text: pd.Series) -> pd.Series:
+    """Stopword-voting language ID. Deterministic tie-break: highest
+    count wins, then alphabetical language code; no markers ⇒ 'und'."""
+
+    def _one(t):
+        if t is None:
+            return None
+        toks = set(t.lower().split())
+        best_lang, best_n = "und", 0
+        for lang in sorted(_LANG_MARKERS):
+            n = len(toks & _LANG_MARKERS[lang])
+            if n > best_n:
+                best_lang, best_n = lang, n
+        return best_lang
+
+    return text.map(_one)
+
+
+def lang_id_col(text: Column) -> Column:
+    return F.pandas_udf(lang_id_pdf, "string")(text)
+
+
+# --------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------
+
+
+def content_hash(text: Column) -> Column:
+    """Exact-dedup key; md5 is available in both Spark and DuckDB so
+    oracle checks can reproduce it."""
+    return F.md5(text)
+
+
+def rolling_fingerprint_pdf(text: pd.Series, k: int = 8, mod: int = 2**61 - 1) -> pd.Series:
+    """Polynomial rolling-hash fingerprint: min of all k-gram hashes
+    (a winnowing-style document signature). Pure-pandas kernel shared
+    with the oracle."""
+    B = 1_000_003
+
+    def _one(t):
+        if t is None:
+            return None
+        data = t.encode("utf-8")
+        if len(data) < k:
+            h = 0
+            for ch in data:
+                h = (h * B + ch) % mod
+            return h
+        # rolling window of width k
+        pw = pow(B, k - 1, mod)
+        h = 0
+        best = None
+        for i, ch in enumerate(data):
+            if i >= k:
+                h = (h - data[i - k] * pw) % mod
+            h = (h * B + ch) % mod
+            if i >= k - 1:
+                best = h if best is None or h < best else best
+        return best
+
+    return text.map(_one)
+
+
+def rolling_fingerprint_col(text: Column, k: int = 8) -> Column:
+    def _udf(s: pd.Series) -> pd.Series:
+        return rolling_fingerprint_pdf(s, k=k)
+
+    return F.pandas_udf(_udf, "long")(text)

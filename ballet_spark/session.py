@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults follow the scale design: AQE on (runtime skew-join splitting
+and partition coalescing), Arrow enabled for every pandas-UDF boundary,
+UTC session timezone so results compare bit-stably against external
+oracles, and shuffle partitions sized to the local core count (callers
+on a real cluster should set ``spark.sql.shuffle.partitions`` to
+~2-3x total cores instead).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``ballet_spark`` importable on executor Python workers.
+
+    The programmatic equivalent of ``spark-submit --py-files`` (the
+    north-rule deployment shape): zip the package and ``addPyFile`` it,
+    so pandas-UDF closures that reference module-level functions
+    unpickle on any executor, local or remote.
+    """
+    import ballet_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ballet_spark.__file__))
+    stamp = os.path.join(tempfile.gettempdir(), "ballet_spark_pyfiles")
+    zip_path = shutil.make_archive(stamp, "zip", os.path.dirname(pkg_dir), "ballet_spark")
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "ballet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    On a real cluster, pass ``master=None`` with spark-submit providing
+    the master and let the resource manager size executors.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]"))
+        except (IndexError, ValueError):
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
