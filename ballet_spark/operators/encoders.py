@@ -1,0 +1,375 @@
+"""Categorical encoders: fit = groupBy(category) agg on TRAIN →
+broadcast params join at transform (SURVEY.md §2.3
+category_encoders/sklearn rows; reference re-exports at
+ballet/eng/external/category_encoders.py:1-54, sklearn.py:4-12).
+
+All params tables have one row per category — small by construction —
+and are broadcast, so the 10^12-row side never shuffles for encoding.
+
+``y`` is the name of a label column present in the train DataFrame
+(the engine's analog of the reference's aligned ``y`` array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ballet_spark.operators.base import SparkTransformer
+
+
+class JoinFittedEncoder(SparkTransformer):
+    """Base: one params row per category, broadcast-joined at transform.
+
+    ``_fit_aggs()`` → list of agg exprs over the train group;
+    ``_enc_expr()`` → encoding from those agg columns + global stats;
+    ``_default()`` → value for categories unseen in train.
+    """
+
+    needs_y = False
+
+    def _fit_aggs(self, y: str | None) -> list[Column]:
+        raise NotImplementedError
+
+    def _enc_expr(self) -> Column:
+        raise NotImplementedError
+
+    def _default(self) -> Column:
+        return F.lit(None).cast("double")
+
+    def _global_fit(self, df: DataFrame, y: str | None) -> None:
+        """Hook for global stats (prior mean etc.)."""
+
+    def fit(self, df: DataFrame, cols: list[str], ctx, y=None):
+        if self.needs_y and y is None:
+            raise ValueError(f"{type(self).__name__} requires y (label column name)")
+        self._cols = cols
+        self._global_fit(df, y)
+        self.params_: dict[str, DataFrame] = {}
+        for c in cols:
+            self.params_[c] = (
+                df.groupBy(F.col(c).alias("__g"))
+                .agg(*self._fit_aggs(y))
+                .select("__g", self._enc_expr().alias("__enc"))
+            )
+        return self
+
+    def transform_df(self, df, cols, alias, ctx):
+        out_names = []
+        cur = df
+        for i, c in enumerate(cols):
+            name = alias if len(cols) == 1 else f"{alias}_{i}"
+            p = self.params_[c].withColumnRenamed("__enc", f"__enc_{name}")
+            cur = cur.join(
+                F.broadcast(p), cur[c].eqNullSafe(F.col("__g")), "left"
+            )
+            cur = cur.select(
+                *[F.col(x) for x in cur.columns if x not in ("__g", f"__enc_{name}")],
+                F.coalesce(F.col(f"__enc_{name}"), self._default()).alias(name),
+            )
+            out_names.append(name)
+        return cur, out_names
+
+
+class CountEncoder(JoinFittedEncoder):
+    """Category → its train frequency (category_encoders CountEncoder).
+    Unseen ⇒ 0."""
+
+    def _fit_aggs(self, y):
+        return [F.count(F.lit(1)).alias("__n")]
+
+    def _enc_expr(self):
+        return F.col("__n").cast("double")
+
+    def _default(self):
+        return F.lit(0.0)
+
+
+class TargetEncoder(JoinFittedEncoder):
+    """Smoothed mean-target encoding (category_encoders TargetEncoder):
+    ``prior*(1-w) + group_mean*w`` with
+    ``w = 1/(1+exp(-(n - min_samples_leaf)/smoothing))``.
+    Unseen ⇒ prior."""
+
+    needs_y = True
+
+    def __init__(self, smoothing: float = 1.0, min_samples_leaf: int = 1):
+        self.smoothing = smoothing
+        self.min_samples_leaf = min_samples_leaf
+
+    def _global_fit(self, df, y):
+        self.prior_ = df.agg(F.avg(F.col(y).cast("double"))).first()[0]
+
+    def _fit_aggs(self, y):
+        return [
+            F.avg(F.col(y).cast("double")).alias("__m"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+
+    def _enc_expr(self):
+        w = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(
+                -(F.col("__n") - F.lit(self.min_samples_leaf))
+                / F.lit(self.smoothing)
+            )
+        )
+        return F.lit(self.prior_) * (1 - w) + F.col("__m") * w
+
+    def _default(self):
+        return F.lit(self.prior_)
+
+
+class MEstimateEncoder(JoinFittedEncoder):
+    """(sum_y + m*prior) / (n + m) (category_encoders MEstimateEncoder).
+    Unseen ⇒ prior."""
+
+    needs_y = True
+
+    def __init__(self, m: float = 1.0):
+        self.m = m
+
+    def _global_fit(self, df, y):
+        self.prior_ = df.agg(F.avg(F.col(y).cast("double"))).first()[0]
+
+    def _fit_aggs(self, y):
+        return [
+            F.sum(F.col(y).cast("double")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+
+    def _enc_expr(self):
+        return (F.col("__s") + F.lit(self.m * self.prior_)) / (
+            F.col("__n") + F.lit(self.m)
+        )
+
+    def _default(self):
+        return F.lit(self.prior_)
+
+
+class WOEEncoder(JoinFittedEncoder):
+    """Weight of evidence for binary targets with Laplace regularization
+    (category_encoders WOEEncoder):
+    ``ln(((pos+reg)/(POS+2reg)) / ((neg+reg)/(NEG+2reg)))``. Unseen ⇒ 0."""
+
+    needs_y = True
+
+    def __init__(self, regularization: float = 1.0):
+        self.reg = regularization
+
+    def _global_fit(self, df, y):
+        row = df.agg(
+            F.sum(F.col(y).cast("double")).alias("pos"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        self.pos_ = float(row["pos"])
+        self.neg_ = float(row["n"] - row["pos"])
+
+    def _fit_aggs(self, y):
+        return [
+            F.sum(F.col(y).cast("double")).alias("__pos"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+
+    def _enc_expr(self):
+        pos_rate = (F.col("__pos") + F.lit(self.reg)) / F.lit(
+            self.pos_ + 2 * self.reg
+        )
+        neg_rate = (F.col("__n") - F.col("__pos") + F.lit(self.reg)) / F.lit(
+            self.neg_ + 2 * self.reg
+        )
+        return F.log(pos_rate / neg_rate)
+
+    def _default(self):
+        return F.lit(0.0)
+
+
+class JamesSteinEncoder(JoinFittedEncoder):
+    """Independent James-Stein shrinkage (category_encoders
+    JamesSteinEncoder, independent model): ``prior + (1-B)*(mean-prior)``
+    with ``B = group_var / (group_var + between_var)`` approximated by
+    ``(var_y/n) / (var_y/n + var_between)``. Unseen ⇒ prior."""
+
+    needs_y = True
+
+    def _global_fit(self, df, y):
+        row = df.agg(
+            F.avg(F.col(y).cast("double")).alias("m"),
+            F.var_pop(F.col(y).cast("double")).alias("v"),
+        ).first()
+        self.prior_ = float(row["m"])
+        self.var_ = float(row["v"]) if row["v"] else 0.0
+
+    def _fit_aggs(self, y):
+        return [
+            F.avg(F.col(y).cast("double")).alias("__m"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+
+    def _enc_expr(self):
+        if self.var_ == 0.0:
+            return F.lit(self.prior_)
+        b = (F.lit(self.var_) / F.col("__n")) / (
+            F.lit(self.var_) / F.col("__n") + F.lit(self.var_)
+        )
+        return F.lit(self.prior_) + (F.lit(1.0) - b) * (
+            F.col("__m") - F.lit(self.prior_)
+        )
+
+    def _default(self):
+        return F.lit(self.prior_)
+
+
+class LeaveOneOutEncoder(JoinFittedEncoder):
+    """Leave-one-out target encoding. Standard ``transform`` (new rows)
+    = plain train group mean; use :func:`loo_encode_train` for encoding
+    the TRAIN rows themselves, which excludes each row's own target:
+    ``(sum_group - y_row)/(n_group - 1)`` (category_encoders LOO).
+    Unseen ⇒ prior."""
+
+    needs_y = True
+
+    def _global_fit(self, df, y):
+        self.prior_ = df.agg(F.avg(F.col(y).cast("double"))).first()[0]
+
+    def _fit_aggs(self, y):
+        return [F.avg(F.col(y).cast("double")).alias("__m")]
+
+    def _enc_expr(self):
+        return F.col("__m")
+
+    def _default(self):
+        return F.lit(self.prior_)
+
+
+def loo_encode_train(
+    df: DataFrame, cat_col: str, y_col: str, out_col: str
+) -> DataFrame:
+    """LOO encoding of the train rows: window sum/count per category
+    minus the own row — no join, one exchange on the category key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cat_col)
+    yc = F.col(y_col).cast("double")
+    s, n = F.sum(yc).over(w), F.count(F.lit(1)).over(w)
+    prior = F.avg(yc).over(Window.partitionBy())
+    enc = F.when(n > 1, (s - yc) / (n - 1)).otherwise(prior)
+    return df.withColumn(out_col, enc)
+
+
+class OrdinalEncoder(JoinFittedEncoder):
+    """Category → dense index by sorted train order (sklearn
+    OrdinalEncoder). Unseen ⇒ -1 (sklearn's unknown_value idiom)."""
+
+    def fit(self, df, cols, ctx, y=None):
+        self._cols = cols
+        self.params_ = {}
+        for c in cols:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.col("__g"))
+            self.params_[c] = (
+                df.select(F.col(c).alias("__g"))
+                .distinct()
+                .select(
+                    "__g",
+                    (F.row_number().over(w) - 1).cast("double").alias("__enc"),
+                )
+            )
+        return self
+
+    def _default(self):
+        return F.lit(-1.0)
+
+
+class OneHotEncoder(SparkTransformer):
+    """One column per train category, sorted; unknown ⇒ all zeros
+    (sklearn OneHotEncoder(handle_unknown='ignore')). The category list
+    is collected to the driver at fit (guarded by ``max_categories``) and
+    compiled to plain comparison expressions — no join at all."""
+
+    def __init__(self, max_categories: int = 1000):
+        self.max_categories = max_categories
+
+    def fit(self, df, cols, ctx, y=None):
+        self._cols = cols
+        self.categories_ = {}
+        for c in cols:
+            cats = [
+                r[0]
+                for r in df.select(c).distinct().orderBy(c).limit(
+                    self.max_categories + 1
+                ).collect()
+                if r[0] is not None
+            ]
+            if len(cats) > self.max_categories:
+                raise ValueError(
+                    f"column {c} has >{self.max_categories} categories; "
+                    f"use HashingEncoder or TargetEncoder at this cardinality"
+                )
+            self.categories_[c] = cats
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        for e, c in zip(in_exprs, self._cols):
+            for cat in self.categories_[c]:
+                out.append((e == F.lit(cat)).cast("int"))
+        return [F.coalesce(o, F.lit(0)) for o in out]
+
+
+class HashingEncoder(SparkTransformer):
+    """Stateless feature hashing into ``n_components`` indicator columns
+    via xxhash64 (category_encoders HashingEncoder shape). JVM-side,
+    no fit, collision-tolerant at web-scale cardinalities."""
+
+    def __init__(self, n_components: int = 8):
+        self.n_components = n_components
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        for e in in_exprs:
+            bucket = F.pmod(F.xxhash64(e.cast("string")), F.lit(self.n_components))
+            for j in range(self.n_components):
+                out.append((bucket == j).cast("int"))
+        return out
+
+
+class RareLabelEncoder(JoinFittedEncoder):
+    """Replace categories rarer than ``tol`` (fraction of train rows)
+    with 'Rare' (feature_engine RareLabelEncoder)."""
+
+    def __init__(self, tol: float = 0.05, rare_label: str = "Rare"):
+        self.tol = tol
+        self.rare_label = rare_label
+
+    def _global_fit(self, df, y):
+        self.n_ = df.count()
+
+    def _fit_aggs(self, y):
+        return [F.count(F.lit(1)).alias("__n")]
+
+    def _enc_expr(self):
+        return F.when(
+            F.col("__n") / F.lit(float(self.n_)) >= self.tol, F.col("__g")
+        ).otherwise(F.lit(self.rare_label))
+
+    def _default(self):
+        return F.lit(self.rare_label)
+
+    def transform_df(self, df, cols, alias, ctx):
+        # output is string-typed; same join plumbing, different coalesce type
+        out_names = []
+        cur = df
+        for i, c in enumerate(cols):
+            name = alias if len(cols) == 1 else f"{alias}_{i}"
+            p = self.params_[c].withColumnRenamed("__enc", f"__enc_{name}")
+            cur = cur.join(F.broadcast(p), cur[c].eqNullSafe(F.col("__g")), "left")
+            cur = cur.select(
+                *[F.col(x) for x in cur.columns if x not in ("__g", f"__enc_{name}")],
+                F.coalesce(
+                    F.col(f"__enc_{name}"), F.lit(self.rare_label)
+                ).alias(name),
+            )
+            out_names.append(name)
+        return cur, out_names

@@ -1,0 +1,428 @@
+"""Fitted (learned) operators: fit = aggregation job over the TRAIN
+slice producing small params; transform = pure expression (or broadcast
+params-table join for group-wise fits). Parameters are never recomputed
+on transform rows — the reference's leakage discipline
+(ballet/eng/base.py:94-148 GroupwiseTransformer rationale).
+
+Covers SURVEY.md §2.2 E4/E5/E11/E12 and the §2.3 sklearn/feature_engine
+scaler/imputer/winsorizer/discretizer surface.
+
+Scale notes: global fits are single ``df.agg`` jobs (partial+final
+aggregation, tiny driver-side result). Group-wise fits produce a params
+DataFrame that is small by construction (one row per group) and is
+**broadcast** at transform time, so the big table is never shuffled.
+Exact percentiles are used by default for oracle fidelity; pass
+``exact=False`` on quantile-based ops to switch to
+``percentile_approx`` at 10^12-row scale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ballet_spark.operators.base import SparkTransformer
+
+
+class AggFittedTransformer(SparkTransformer):
+    """Base for operators whose fit is expressible as aggregations.
+
+    Subclasses declare per-column agg expressions and an application
+    expression over the learned params; the base class provides both the
+    global fit (one agg job → scalar params → ``lit``) and, via
+    :class:`Groupwise`, the per-group fit (groupBy agg → params table →
+    broadcast join).
+    """
+
+    #: params learned per input column: name → agg-expr builder
+    def _agg_exprs(self, c: Column) -> dict[str, Column]:
+        raise NotImplementedError
+
+    def _apply(self, e: Column, p: dict[str, Column]) -> Column:
+        raise NotImplementedError
+
+    def fit(self, df: DataFrame, cols: list[str], ctx, y=None):
+        aggs = []
+        for c in cols:
+            for name, expr in self._agg_exprs(F.col(c)).items():
+                aggs.append(expr.alias(f"{c}__{name}"))
+        row = df.agg(*aggs).first().asDict()
+        self.params_ = {
+            c: {
+                name: row[f"{c}__{name}"]
+                for name in self._agg_exprs(F.col(c)).keys()
+            }
+            for c in cols
+        }
+        self._cols = cols
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        for e, c in zip(in_exprs, self._cols):
+            p = {k: F.lit(v) for k, v in self.params_[c].items()}
+            out.append(self._apply(e, p))
+        return out
+
+
+class StandardScaler(AggFittedTransformer):
+    """(x - mean) / std with population std (ddof=0), matching sklearn
+    StandardScaler (ballet/eng/external/sklearn.py:4-16)."""
+
+    def __init__(self, with_mean: bool = True, with_std: bool = True):
+        self.with_mean = with_mean
+        self.with_std = with_std
+
+    def _agg_exprs(self, c):
+        return {"mean": F.avg(c), "std": F.stddev_pop(c)}
+
+    def _apply(self, e, p):
+        out = e.cast("double")
+        if self.with_mean:
+            out = out - p["mean"]
+        if self.with_std:
+            out = F.when(p["std"] != 0, out / p["std"]).otherwise(out)
+        return out
+
+
+class MinMaxScaler(AggFittedTransformer):
+    def __init__(self, lo: float = 0.0, hi: float = 1.0):
+        self.lo, self.hi = lo, hi
+
+    def _agg_exprs(self, c):
+        return {"min": F.min(c), "max": F.max(c)}
+
+    def _apply(self, e, p):
+        rng = p["max"] - p["min"]
+        scaled = F.when(rng != 0, (e - p["min"]) / rng).otherwise(F.lit(0.0))
+        return scaled * (self.hi - self.lo) + self.lo
+
+
+class MaxAbsScaler(AggFittedTransformer):
+    def _agg_exprs(self, c):
+        return {"maxabs": F.max(F.abs(c))}
+
+    def _apply(self, e, p):
+        return F.when(p["maxabs"] != 0, e / p["maxabs"]).otherwise(e.cast("double"))
+
+
+class RobustScaler(AggFittedTransformer):
+    """(x - median) / IQR. Exact percentile by default; approx at scale."""
+
+    def __init__(self, exact: bool = True):
+        self.exact = exact
+
+    def _pct(self, c, q):
+        if self.exact:
+            return F.percentile(c, F.lit(q))
+        return F.percentile_approx(c, F.lit(q), F.lit(10000))
+
+    def _agg_exprs(self, c):
+        return {
+            "q1": self._pct(c, 0.25),
+            "med": self._pct(c, 0.5),
+            "q3": self._pct(c, 0.75),
+        }
+
+    def _apply(self, e, p):
+        iqr = p["q3"] - p["q1"]
+        return F.when(iqr != 0, (e - p["med"]) / iqr).otherwise(
+            (e - p["med"]).cast("double")
+        )
+
+
+class SimpleImputer(AggFittedTransformer):
+    """mean/median/most_frequent/constant imputation
+    (sklearn surface, ballet/eng/external/sklearn.py:1-46)."""
+
+    def __init__(self, strategy: str = "mean", fill_value=None, exact: bool = True):
+        if strategy not in ("mean", "median", "most_frequent", "constant"):
+            raise ValueError(strategy)
+        self.strategy = strategy
+        self.fill_value = fill_value
+        self.exact = exact
+
+    def _agg_exprs(self, c):
+        if self.strategy == "mean":
+            return {"fill": F.avg(c)}
+        if self.strategy == "median":
+            if self.exact:
+                return {"fill": F.percentile(c, F.lit(0.5))}
+            return {"fill": F.percentile_approx(c, F.lit(0.5), F.lit(10000))}
+        if self.strategy == "most_frequent":
+            # deterministic mode: ties broken by smallest value (sklearn)
+            return {"fill": F.mode(c, True)}
+        return {"fill": F.lit(self.fill_value)}
+
+    def _apply(self, e, p):
+        return F.coalesce(e, p["fill"])
+
+
+class Winsorizer(AggFittedTransformer):
+    """Cap at train quantiles (feature_engine Winsorizer,
+    ballet/eng/external/feature_engine.py: outliers)."""
+
+    def __init__(self, lower_q: float = 0.05, upper_q: float = 0.95, exact: bool = True):
+        self.lower_q, self.upper_q = lower_q, upper_q
+        self.exact = exact
+
+    def _pct(self, c, q):
+        if self.exact:
+            return F.percentile(c, F.lit(q))
+        return F.percentile_approx(c, F.lit(q), F.lit(10000))
+
+    def _agg_exprs(self, c):
+        return {"lo": self._pct(c, self.lower_q), "hi": self._pct(c, self.upper_q)}
+
+    def _apply(self, e, p):
+        return F.least(F.greatest(e.cast("double"), p["lo"]), p["hi"])
+
+
+class ComputedValueTransformer(AggFittedTransformer):
+    """Compute a scalar on train, emit it as a constant column
+    (ballet/eng/misc.py:130-156). ``agg_fn`` builds the agg expression,
+    e.g. ``F.avg``."""
+
+    def __init__(self, agg_fn: Callable[[Column], Column]):
+        self.agg_fn = agg_fn
+
+    def _agg_exprs(self, c):
+        return {"value": self.agg_fn(c)}
+
+    def _apply(self, e, p):
+        return p["value"]
+
+
+class ConditionalTransformer(AggFittedTransformer):
+    """Fit: evaluate a boolean per-column condition aggregate on train;
+    transform: apply ``satisfy`` expr to satisfied columns, ``unsatisfy``
+    (default identity) to the rest — plan-time branching, zero runtime
+    cost (ballet/eng/base.py:257-326).
+    """
+
+    def __init__(
+        self,
+        condition_agg: Callable[[Column], Column],
+        satisfy: Callable[[Column], Column],
+        unsatisfy: Callable[[Column], Column] | None = None,
+    ):
+        self.condition_agg = condition_agg
+        self.satisfy = satisfy
+        self.unsatisfy = unsatisfy
+
+    def _agg_exprs(self, c):
+        return {"cond": self.condition_agg(c).cast("boolean")}
+
+    def _apply(self, e, p):
+        raise AssertionError("unused — transform_exprs overridden")
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        for e, c in zip(in_exprs, self._cols):
+            if bool(self.params_[c]["cond"]):
+                out.append(self.satisfy(e))
+            elif self.unsatisfy is not None:
+                out.append(self.unsatisfy(e))
+            else:
+                out.append(e)
+        return out
+
+
+def boxcox1p_expr(e: Column, lmbda: float) -> Column:
+    """scipy.special.boxcox1p as a Column expression."""
+    if lmbda == 0.0:
+        return F.log1p(e)
+    return (F.pow(F.lit(1.0) + e, F.lit(lmbda)) - 1.0) / F.lit(lmbda)
+
+
+class BoxCoxTransformer(ConditionalTransformer):
+    """Box-Cox of 1+x on columns whose train |skewness| exceeds
+    ``threshold`` (ballet/eng/misc.py:33-55). Spark ``skewness`` is the
+    population (bias=True) estimator, matching ``scipy.stats.skew``
+    defaults used by the reference."""
+
+    def __init__(self, threshold: float, lmbda: float = 0.0):
+        super().__init__(
+            condition_agg=lambda c: F.abs(F.skewness(c)) > F.lit(threshold),
+            satisfy=lambda e: boxcox1p_expr(e, lmbda),
+        )
+        self.threshold = threshold
+        self.lmbda = lmbda
+
+
+class KBinsDiscretizer(AggFittedTransformer):
+    """Bin index by train quantiles ('quantile') or equal-width
+    ('uniform') boundaries (sklearn KBinsDiscretizer ordinal encoding;
+    feature_engine Equal{Frequency,Width}Discretiser). Values outside
+    the train range clip to the first/last bin."""
+
+    def __init__(self, n_bins: int = 5, strategy: str = "quantile", exact: bool = True):
+        if strategy not in ("quantile", "uniform"):
+            raise ValueError(strategy)
+        self.n_bins = n_bins
+        self.strategy = strategy
+        self.exact = exact
+
+    def _agg_exprs(self, c):
+        if self.strategy == "uniform":
+            return {"min": F.min(c).cast("double"), "max": F.max(c).cast("double")}
+        qs = [i / self.n_bins for i in range(1, self.n_bins)]
+        pct = F.percentile if self.exact else (
+            lambda col, q: F.percentile_approx(col, q, F.lit(10000))
+        )
+        return {f"q{i}": pct(c, F.lit(q)) for i, q in enumerate(qs)}
+
+    def _apply(self, e, p):
+        if self.strategy == "uniform":
+            lo, hi = p["min"], p["max"]
+            width = (hi - lo) / F.lit(float(self.n_bins))
+            raw = F.floor((e - lo) / width)
+            return F.least(
+                F.greatest(raw, F.lit(0)), F.lit(self.n_bins - 1)
+            ).cast("int")
+        # quantile: CASE chain over n_bins-1 boundaries (n_bins is small)
+        expr = F.lit(self.n_bins - 1)
+        for i in reversed(range(self.n_bins - 1)):
+            expr = F.when(e <= p[f"q{i}"], F.lit(i)).otherwise(expr)
+        return expr.cast("int")
+
+
+class Binarizer(SparkTransformer):
+    """Stateless threshold indicator (sklearn Binarizer)."""
+
+    def __init__(self, threshold: float = 0.0):
+        self.threshold = threshold
+
+    def transform_exprs(self, in_exprs, ctx):
+        return [(e > F.lit(self.threshold)).cast("int") for e in in_exprs]
+
+
+class PolynomialFeatures(SparkTransformer):
+    """Degree-2 products of the input columns (sklearn surface,
+    ballet/eng/external/sklearn.py:12): [x_i] + [x_i * x_j, i<=j]."""
+
+    def __init__(self, include_bias: bool = False):
+        self.include_bias = include_bias
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        if self.include_bias:
+            out.append(F.lit(1.0))
+        out.extend(e.cast("double") for e in in_exprs)
+        n = len(in_exprs)
+        for i in range(n):
+            for j in range(i, n):
+                out.append((in_exprs[i] * in_exprs[j]).cast("double"))
+        return out
+
+
+class LogTransformer(SparkTransformer):
+    """feature_engine LogTransformer (natural log)."""
+
+    def transform_exprs(self, in_exprs, ctx):
+        return [F.log(e) for e in in_exprs]
+
+
+class ReciprocalTransformer(SparkTransformer):
+    def transform_exprs(self, in_exprs, ctx):
+        return [F.lit(1.0) / e for e in in_exprs]
+
+
+class Groupwise(SparkTransformer):
+    """Per-group fitted transformer (ballet/eng/base.py:94-254).
+
+    fit: ``train.groupBy(by).agg(inner's aggs)`` → small params table.
+    transform: **broadcast** left join on the group key; per-row param
+    columns feed the inner op's apply expression.
+
+    Unseen groups at transform:
+    - ``handle_unknown='error'`` → distributed ``raise_error`` at
+      execution (the reference raises BalletError,
+      ballet/eng/base.py:240-246);
+    - ``'ignore'`` → the group's values pass through unchanged
+      (ballet/eng/base.py docstring + tests/eng/test_base.py:149-197).
+    """
+
+    def __init__(
+        self,
+        inner: AggFittedTransformer,
+        by: str,
+        handle_unknown: str = "error",
+    ):
+        if handle_unknown not in ("error", "ignore"):
+            raise ValueError(
+                f"Invalid value for handle_unknown: {handle_unknown}"
+            )
+        self.inner = inner
+        self.by = by
+        self.handle_unknown = handle_unknown
+
+    def fit(self, df: DataFrame, cols: list[str], ctx, y=None):
+        aggs = [F.lit(1).alias("__seen")]
+        names: list[tuple[str, str]] = []
+        for c in cols:
+            for name, expr in self.inner._agg_exprs(F.col(c)).items():
+                aggs.append(expr.alias(f"__p_{c}__{name}"))
+                names.append((c, name))
+        self.params_df_ = df.groupBy(F.col(self.by).alias("__g")).agg(*aggs)
+        self._param_names = names
+        self._cols = cols
+        self.inner._cols = cols
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        return None  # requires the params-table join
+
+    def transform_df(self, df, cols, alias, ctx):
+        joined = df.join(
+            F.broadcast(self.params_df_),
+            df[self.by] == F.col("__g"),
+            "left",
+        )
+        out_names = []
+        outs = []
+        for i, c in enumerate(cols):
+            p = {
+                name: F.col(f"__p_{c}__{name}")
+                for (cc, name) in self._param_names
+                if cc == c
+            }
+            applied = self.inner._apply(F.col(c), p)
+            seen = F.col("__seen").isNotNull()
+            if self.handle_unknown == "error":
+                expr = F.when(
+                    ~seen,
+                    F.raise_error(
+                        F.concat(F.lit("Unknown group: "), F.col(self.by))
+                    ),
+                ).otherwise(applied)
+            else:
+                expr = F.when(seen, applied).otherwise(F.col(c).cast("double"))
+            name = alias if len(cols) == 1 else f"{alias}_{i}"
+            outs.append(expr.alias(name))
+            out_names.append(name)
+        keep = [F.col(c) for c in df.columns]
+        return joined.select(*keep, *outs), out_names
+
+
+class GroupedApply(SparkTransformer):
+    """Arbitrary per-group pandas function — the reference's
+    ``GroupedFunctionTransformer`` (ballet/eng/base.py:64-91) via
+    ``applyInPandas``. ``fn`` receives the group's pandas DataFrame of
+    the input columns (plus keys) and returns a DataFrame matching
+    ``schema``. This is the sanctioned escape hatch when no expression
+    composition exists; Arrow-batched, never per-row Python."""
+
+    def __init__(self, fn: Callable, schema: str, by: str | None = None):
+        self.fn = fn
+        self.schema = schema
+        self.by = by
+
+    def transform_df(self, df, cols, alias, ctx):
+        by = self.by or ctx.entity_col
+        out = df.groupBy(by).applyInPandas(self.fn, self.schema)
+        new = [c for c in out.columns if c not in df.columns]
+        # caller must join back if alignment with df is needed
+        return out, new
