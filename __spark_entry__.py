@@ -1,38 +1,709 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a ballet_spark engine operator
+(SURVEY.md §2) against the driver's parquet tables; ``oracle_sql()``
+holds the equivalent DuckDB SQL. Column names/aliases match pairwise so
+the driver's order-insensitive value-hash comparison is meaningful.
+
+Floating aggregates are rounded to 4 decimals on BOTH sides to absorb
+summation-order differences between engines; timestamps are emitted as
+epoch-second bigints to sidestep timezone-representation differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_ctx():
+    from ballet_spark.core import PipelineContext
+
+    return PipelineContext(entity_col="user_id", time_col="ts", point_in_time=True)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time feature matrix over the events timeline
+    (entity=user_id, time=ts): lag, rolling mean, forward-fill and
+    session id in ONE window pass, engine-compiled."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.base import SparkFunctionTransformer
+    from ballet_spark.operators.sessionize import SessionId
+    from ballet_spark.operators.window_ops import ForwardFill, Lag, Rolling
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "v_or_null",
+        F.when(F.col("event_type") != "error", F.col("value")),
+    )
+    feats = [
+        Feature("value", SparkFunctionTransformer(lambda c: c), output="value"),
+        Feature("value", Lag(1), output="value_lag1"),
+        Feature("value", Rolling("mean", 5), output="value_roll5"),
+        Feature("v_or_null", ForwardFill(), output="value_ffill"),
+        Feature("value", SessionId(gap_s=1800), output="session_id"),
+    ]
+    pipe = FeatureEngineeringPipeline(feats, entity_col="user_id", time_col="ts")
+    return pipe.fit(ev).transform(ev)
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregation (Catalyst-native operators)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style multi-agg (hash agg, partial+final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """3-way join + agg + deterministic top-10 (broadcastable dims)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def agg_by_nation(spark, sf_dir):
+    """Join chain with two broadcast dims + grouped aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def topk_docs_per_source(spark, sf_dir):
+    """Top-3 per group via ranking window (SURVEY.md §2.6 top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "doc_id", "n_chars", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / time-series operators (engine window_ops)
+# ---------------------------------------------------------------------------
+
+
+def window_lag_delta(spark, sf_dir):
+    """Lag + delta via engine Feature pipeline (E16, skits difference)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import Delta, Lag
+
+    ev = _t(spark, sf_dir, "events")
+    feats = [
+        Feature("value", Lag(1), output="value_lag1"),
+        Feature("value", Delta(1), output="value_delta1"),
+    ]
+    pipe = FeatureEngineeringPipeline(feats, entity_col="user_id", time_col="ts")
+    out = pipe.fit(ev).transform(ev)
+    ev_keys = ev.select("user_id", "ts", "event_id")
+    return (
+        out.join(ev_keys, ["user_id", "ts"])
+        .select(
+            "event_id",
+            F.round("value_lag1", 4).alias("value_lag1"),
+            F.round("value_delta1", 4).alias("value_delta1"),
+        )
+    )
+
+
+def rolling_mean_5(spark, sf_dir):
+    """Trailing 5-row mean per user (skits RollingMeanTransformer)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import Rolling
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", Rolling("mean", 5), output="roll5")],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("roll5", 4).alias("roll5"))
+    )
+
+
+def forward_fill(spark, sf_dir):
+    """last(ignorenulls) forward-fill backfill (E15 / north rule)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import ForwardFill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v_or_null", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("v_or_null", ForwardFill(), output="v_ffill")],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_ffill", 4).alias("v_ffill"))
+    )
+
+
+def cumulative_stats(spark, sf_dir):
+    """Expanding sum/count per user through each event (CumAgg)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import CumAgg, SnapshotIndex
+
+    ev = _t(spark, sf_dir, "events")
+    feats = [
+        Feature("value", CumAgg("sum"), output="cum_sum"),
+        Feature("value", SnapshotIndex(), output="event_idx"),
+    ]
+    pipe = FeatureEngineeringPipeline(feats, entity_col="user_id", time_col="ts")
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("cum_sum", 4).alias("cum_sum"), "event_idx")
+    )
+
+
+def sessionize_30m(spark, sf_dir):
+    """Gap-based sessionization, 30-minute threshold."""
+    from ballet_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_s=1800).select(
+        "event_id", "session_id"
+    )
+
+
+def session_stats_30m(spark, sf_dir):
+    """Per-session rollup (bounds, size, duration)."""
+    from ballet_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, "user_id", "ts", gap_s=1800)
+    return s.select(
+        "user_id",
+        "session_id",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+        "duration_s",
+    )
+
+
+def asof_join_purchase(spark, sf_dir):
+    """Point-in-time as-of join: each click sees the latest purchase
+    value of the same user at/before its timestamp (union+window SMJ)."""
+    from ballet_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.unix_timestamp("__matched_ts").alias("matched_epoch"),
+    )
+
+
+def groupwise_mean_impute(spark, sf_dir):
+    """Groupwise fitted imputation (E4): per-user mean learned once,
+    applied via broadcast params join."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import Groupwise, SimpleImputer
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v_or_null", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature(
+                "v_or_null",
+                Groupwise(SimpleImputer("mean"), by="user_id", handle_unknown="ignore"),
+                output="v_imp",
+            )
+        ],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_imp", 4).alias("v_imp"))
+    )
+
+
+def standard_scale_value(spark, sf_dir):
+    """Global fitted scaler (sklearn StandardScaler semantics)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import StandardScaler
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", StandardScaler(), output="v_std")],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_std", 4).alias("v_std"))
+    )
+
+
+def target_encode_source(spark, sf_dir):
+    """Smoothed target encoding of documents.source with a derived
+    binary label (category_encoders TargetEncoder semantics)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.encoders import TargetEncoder
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("n_chars") > 250).cast("double")
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("source", TargetEncoder(), output="src_te")],
+        entity_col="doc_id",
+        time_col="doc_id",
+    )
+    out = pipe.fit(docs, y="y").transform(docs)
+    return out.select(
+        F.col("doc_id"), F.round("src_te", 4).alias("src_te")
+    )
+
+
+def count_encode_lang(spark, sf_dir):
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.encoders import CountEncoder
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("lang", CountEncoder(), output="lang_n")],
+        entity_col="doc_id",
+        time_col="doc_id",
+    )
+    out = pipe.fit(docs).transform(docs)
+    return out.select("doc_id", F.col("lang_n").cast("bigint").alias("lang_n"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def token_stats_by_lang(spark, sf_dir):
+    """Per-language token statistics (text kernels, JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max(n_tokens).cast("bigint").alias("max_tokens"),
+    )
+
+
+def quality_scores(spark, sf_dir):
+    """Document quality heuristic (length/digit/punct composite)."""
+    from ballet_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def lang_id_heuristic(spark, sf_dir):
+    """Stopword-voting language ID (n-gram heuristic, pandas kernel)."""
+    from ballet_spark.functions.text import lang_id_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    from ballet_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_dups(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.1 (explode + self-join
+    candidate generation with shared-gram counting)."""
+    from ballet_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, n=3
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def minhash_lsh_dups(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs, exact-verified at Jaccard ≥
+    0.8 (64 hashes × 16 bands of 4 ⇒ recall ≥ 0.9998 at s=0.8, →1
+    above; candidate rate for the ~0.1-similar background corpus is
+    ~0.16%, keeping the bucket join linear-ish). No SQL oracle (seeded
+    xxhash64 signatures aren't portable); the driver's rows-only check
+    applies, and pytest verifies against exact n-gram Jaccard incl. on
+    planted near-duplicates."""
+    from ballet_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=64, bands=16, threshold=0.8, shingle_n=3,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 10 of 64 bits). No SQL oracle
+    (blake2b token hashes aren't available in DuckDB); rows-only check."""
+    from ballet_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=10
+    )
+
+
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the 20 lowest vec_ids
+    (broadcast query side, one corpus scan, window rank)."""
+    from ballet_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def embedding_neardups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5)."""
+    from ballet_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "agg_by_nation": agg_by_nation,
+        "topk_docs_per_source": topk_docs_per_source,
+        "window_lag_delta": window_lag_delta,
+        "rolling_mean_5": rolling_mean_5,
+        "forward_fill": forward_fill,
+        "cumulative_stats": cumulative_stats,
+        "sessionize_30m": sessionize_30m,
+        "session_stats_30m": session_stats_30m,
+        "asof_join_purchase": asof_join_purchase,
+        "groupwise_mean_impute": groupwise_mean_impute,
+        "standard_scale_value": standard_scale_value,
+        "target_encode_source": target_encode_source,
+        "count_encode_lang": count_encode_lang,
+        "token_stats_by_lang": token_stats_by_lang,
+        "quality_scores": quality_scores,
+        "lang_id_heuristic": lang_id_heuristic,
+        "dedup_exact": dedup_exact,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "minhash_lsh_dups": minhash_lsh_dups,
+        "simhash_dups": simhash_dups,
+        "embedding_topk": embedding_topk,
+        "embedding_neardups": embedding_neardups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LANG_MARKER_SQL = {
+    "en": "['the','and','of','to','in','is','that','for','with','it']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein','zu','den']",
+    "fr": "['le','la','les','et','des','est','une','dans','que','pour']",
+    "es": "['el','la','los','que','de','y','en','un','una','por']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = ", ".join(
+        f"len(list_intersect(toks, {markers})) AS c_{lang}"
+        for lang, markers in _LANG_MARKER_SQL.items()
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT o_orderkey,
+                   floor(epoch(o_orderdate))::BIGINT AS o_orderdate_epoch,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "agg_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "topk_docs_per_source": """
+            SELECT source, doc_id, n_chars, rank FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents)
+            WHERE rank <= 3
+        """,
+        "window_lag_delta": """
+            SELECT event_id,
+                   round(lag(value, 1) OVER w, 4) AS value_lag1,
+                   round(value - lag(value, 1) OVER w, 4) AS value_delta1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "rolling_mean_5": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll5
+            FROM events
+        """,
+        "forward_fill": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN event_type <> 'error' THEN value END
+                       IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS v_ffill
+            FROM events
+        """,
+        "cumulative_stats": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS cum_sum,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1)
+                       AS event_idx
+            FROM events
+        """,
+        "sessionize_30m": """
+            SELECT event_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+                FROM events)
+        """,
+        "session_stats_30m": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM (
+                    SELECT user_id, ts,
+                           CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                               (PARTITION BY user_id ORDER BY ts)) > 1800
+                               THEN 1 ELSE 0 END AS is_new
+                    FROM events))
+            SELECT user_id, session_id,
+                   floor(epoch(min(ts)))::BIGINT AS start_epoch,
+                   floor(epoch(max(ts)))::BIGINT AS end_epoch,
+                   count(*) AS n_events,
+                   (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_s
+            FROM s GROUP BY user_id, session_id
+        """,
+        "asof_join_purchase": """
+            SELECT c.event_id,
+                   round(p.value, 4) AS purchase_value,
+                   floor(epoch(p.ts))::BIGINT AS matched_epoch
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "groupwise_mean_impute": """
+            SELECT event_id,
+                   round(coalesce(
+                       CASE WHEN event_type <> 'error' THEN value END,
+                       avg(CASE WHEN event_type <> 'error' THEN value END)
+                           OVER (PARTITION BY user_id)), 4) AS v_imp
+            FROM events
+        """,
+        "standard_scale_value": """
+            SELECT event_id,
+                   round((value - avg(value) OVER ()) /
+                         stddev_pop(value) OVER (), 4) AS v_std
+            FROM events
+        """,
+        "target_encode_source": """
+            WITH d AS (SELECT doc_id, source,
+                              CASE WHEN n_chars > 250 THEN 1.0 ELSE 0.0 END AS y
+                       FROM documents),
+            stats AS (SELECT source, avg(y) AS m, count(*) AS n FROM d GROUP BY source),
+            prior AS (SELECT avg(y) AS p FROM d)
+            SELECT d.doc_id,
+                   round(p * (1 - w) + m * w, 4) AS src_te
+            FROM d JOIN stats USING (source), prior,
+                 LATERAL (SELECT 1.0 / (1.0 + exp(-(n - 1) / 1.0)) AS w)
+        """,
+        "count_encode_lang": """
+            SELECT doc_id, count(*) OVER (PARTITION BY lang) AS lang_n
+            FROM documents
+        """,
+        "token_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   max(len(string_split(text, ' ')))::BIGINT AS max_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   round(least(length(text) / 500.0, 1.0) * (1.0 - least(
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                           / length(text)::DOUBLE
+                       + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                           / length(text)::DOUBLE, 1.0)), 6) AS quality
+            FROM documents
+        """,
+        "lang_id_heuristic": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split(lower(text), ' ')) AS toks
+                FROM documents),
+            c AS (SELECT doc_id, {lang_counts} FROM t)
+            SELECT doc_id,
+                   CASE
+                     WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                     WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                     WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+                     WHEN c_fr > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM c
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS content_md5,
+                   count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_dups": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)]) AS grams
+                FROM toks WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, len(grams) AS n FROM docs),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(shared::DOUBLE / (sa.n + sb.n - shared), 4) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.1
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cosine
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "embedding_neardups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.5
+        """,
+    }

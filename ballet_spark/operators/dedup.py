@@ -1,0 +1,343 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (exact, with doc-frequency
+pruning), MinHash+LSH (band-bucket candidate generation + exact
+verify), SimHash (vectorized pandas UDF), and embedding-cosine
+near-dup. No reference analog (ballet has no dedup); required by the
+task brief as first-class engine components.
+
+Scale design notes:
+- exact dedup: one hash aggregation on md5(text) — partial+final agg,
+  no row explosion.
+- ngram_jaccard_pairs: candidate pairs = docs sharing ≥1 n-gram after
+  **doc-frequency pruning** (grams occurring in > ``max_df`` docs are
+  dropped — at 10^12 docs the stopword-gram join would otherwise
+  quadratically explode). Exact Jaccard from shared-gram counts.
+- minhash_lsh_pairs: signatures via k seeded affine permutations of one
+  xxhash64 per shingle (all JVM-side), banded into LSH buckets;
+  candidates = pairs sharing a band bucket, then exact-verified.
+  Shuffles scale linearly in corpus size, never quadratically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1: affine permutations a*h+b stay < 2^62, no int64 overflow
+# under ANSI arithmetic while keeping a proper Mersenne-prime field.
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per distinct text (hash-groupBy dedup).
+    Returns (kept id, content hash, group size)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "content_md5", "n_copies")
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file small inputs arrive as one partition; spread them
+    across cores before CPU-heavy shingle/signature stages (no-op when
+    the source is already parallel, e.g. a many-file 100 TB table)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-grams of a text column (array<string>)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 gram.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    ``max_df`` drops grams present in more than that many documents
+    before the self-join (doc-frequency pruning for scale).
+    """
+    docs = _spread(df).select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    sizes = docs.select("id", F.size("grams").alias("n_grams"))
+
+    exploded = docs.select("id", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        w = Window.partitionBy("gram")
+        exploded = exploded.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+            F.col("df") <= max_df
+        ).drop("df")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: one xxhash64 per distinct word
+    shingle, then ``num_hashes`` seeded affine permutations
+    ``(a_i*h + b_i) mod p`` minimized per doc — all JVM expressions,
+    one explode + one aggregation."""
+    import random
+
+    rnd = random.Random(seed)
+    coefs = [
+        (rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    shingled = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("gram"),
+    ).select(
+        "id", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE_P)).alias("h")
+    )
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coefs)
+    ]
+    sig = shingled.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Bands of r = num_hashes/bands signature rows are hashed to buckets;
+    pairs sharing any bucket are candidates; candidates are verified
+    with exact n-gram Jaccard when ``verify_exact`` (recommended — LSH
+    alone has false positives; verification also bounds false negatives
+    to genuinely-unbucketed pairs)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    # persist EAGERLY: the self-join would otherwise recompute the whole
+    # signature DAG (explode + 64 min-aggs) once per side — lazy persist
+    # inside one job lets both sides race past the cold cache
+    banded = banded.persist()
+    banded.count()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify_exact:
+        return cand
+
+    # Verify ONLY the candidate pairs: join their gram sets and compute
+    # exact Jaccard via array_intersect — O(|candidates|·|grams|), never
+    # the all-pairs gram self-join.
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), shingle_n).alias("grams"),
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / (
+                    F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash_pdf(text: pd.Series, bits: int = 64) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (pandas kernel, shared with
+    the oracle). Deterministic via blake2b token hashes."""
+    import hashlib
+
+    def _one(t):
+        if t is None:
+            return None
+        votes = [0] * bits
+        for tok in t.split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for j in range(bits):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(bits):
+            if votes[j] > 0:
+                v |= 1 << j
+        # to signed int64
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(_one)
+
+
+def simhash_col(text_col):
+    def _udf(text: pd.Series) -> pd.Series:
+        return simhash_pdf(text)
+
+    return F.pandas_udf(_udf, "long")(text_col)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+    Candidate generation by banding the 64-bit hash into
+    ``max_hamming+1`` chunks (pigeonhole: any pair within distance d
+    shares at least one of d+1 exact chunks)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force; for scale,
+    pre-bucket with :func:`ballet_spark.operators.similarity.lsh_bucket`)."""
+    from ballet_spark.operators.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -27,7 +27,9 @@ def sessionize(
 ) -> DataFrame:
     """Append ``out_col``: 0-based session index within the entity."""
     w = Window.partitionBy(entity_col).orderBy(time_col)
-    ts = F.unix_timestamp(F.col(time_col))
+    # exact fractional-second gap (cast ts->double keeps microseconds;
+    # unix_timestamp would floor and mis-classify boundary gaps)
+    ts = F.col(time_col).cast("timestamp").cast("double")
     is_new = (
         F.when(ts - F.lag(ts, 1).over(w) > F.lit(gap_s), 1)
         .otherwise(0)
@@ -65,7 +67,7 @@ class SessionId(SparkTransformer):
 
     def transform_exprs(self, in_exprs, ctx):
         w = Window.partitionBy(ctx.entity_col).orderBy(ctx.time_col)
-        ts = F.unix_timestamp(F.col(ctx.time_col))
+        ts = F.col(ctx.time_col).cast("timestamp").cast("double")
         is_new = F.when(ts - F.lag(ts, 1).over(w) > F.lit(self.gap_s), 1).otherwise(0)
         run = w.rowsBetween(Window.unboundedPreceding, 0)
         return [F.sum(is_new).over(run).cast("bigint")]

@@ -142,7 +142,7 @@ class RollingRange(SparkTransformer):
     def transform_exprs(self, in_exprs, ctx):
         w = (
             Window.partitionBy(ctx.entity_col)
-            .orderBy(F.unix_timestamp(F.col(ctx.time_col)))
+            .orderBy(F.col(ctx.time_col).cast("timestamp").cast("double"))
             .rangeBetween(-self.duration_s, 0)
         )
         fn = _ROLL_FNS[self.agg]
@@ -192,5 +192,5 @@ class TimeSinceLast(SparkTransformer):
 
     def transform_exprs(self, in_exprs, ctx):
         w = entity_window(ctx)
-        ts = F.unix_timestamp(F.col(ctx.time_col))
+        ts = F.col(ctx.time_col).cast("timestamp").cast("double")
         return [(ts - F.lag(ts, 1).over(w)).cast("double")]

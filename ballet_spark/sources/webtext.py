@@ -155,5 +155,8 @@ def generate_webtext_spark(spark, n_pages: int = 200, seed: int = 42, n_domains:
                 out.extend(_page_rows(seed, int(pid), n_domains))
             yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
 
-    npart = max(1, min(spark.sparkContext.defaultParallelism, n_pages))
+    # over-partition (4× cores): downstream scans of the written table
+    # inherit file-level parallelism, so a later 4N-core run is not
+    # capped by the file count an N-core run produced
+    npart = max(1, min(4 * spark.sparkContext.defaultParallelism, n_pages))
     return spark.range(0, n_pages, numPartitions=npart).mapInPandas(gen, WEBTEXT_DDL)
