@@ -1,0 +1,126 @@
+"""Skew handling: head/tail plan splitting + salted aggregation.
+
+Hot domains in Common-Crawl-style corpora give a Zipf head of urls
+whose row counts dwarf the tail (the synthetic generator reproduces
+this; FIXTURES.md §6). Three tools (SURVEY.md §4.3, north rule):
+
+- :func:`head_keys` — find the hot keys (top-k by count or min-count
+  threshold): one partial+final count agg + driver-side top-k.
+- :func:`asof_join_skew` — as-of join with plan splitting: probes of
+  head urls take the **broadcast** path (their feature history is
+  broadcast; no shuffle of those probes), the tail takes the
+  union+window sort-merge path; results are unioned. AQE skew-join
+  can't split a WINDOW, so this is explicit plan surgery.
+- :func:`salted_agg` — two-phase aggregation with an explicit salt for
+  algebraic aggregates where a single hot key would bottleneck the
+  final reducer: ``groupBy(key, salt) → partial → groupBy(key) →
+  merge``. (Catalyst's partial aggregation already handles sums; the
+  salt matters for high-cardinality intermediate state, e.g.
+  collect-style or distinct-count aggregates.)
+
+Salting is deterministic (hash of the time column, not ``rand()``) so
+resumed/retried computations land in identical partitions (SURVEY.md
+§7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballet_spark.operators.asof import asof_join, asof_join_broadcast
+
+
+def head_keys(
+    df: DataFrame,
+    key: str = "url",
+    top_k: int | None = None,
+    min_count: int | None = None,
+) -> list:
+    """Hot keys by row count: the broadcast set for plan splitting."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    if min_count is not None:
+        rows = counts.filter(F.col("n") >= min_count).collect()
+    else:
+        rows = counts.orderBy(F.desc("n"), F.asc(key)).limit(top_k or 100).collect()
+    return [r[key] for r in rows]
+
+
+def asof_join_skew(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "url",
+    left_ts: str = "ts",
+    right_ts: str = "warc_ts",
+    value_cols: Sequence[str] | None = None,
+    head: Sequence | None = None,
+    top_k: int = 50,
+) -> DataFrame:
+    """As-of join with explicit head/tail plan split.
+
+    ``head`` (or the top-``top_k`` right-side keys by count) routes
+    through :func:`asof_join_broadcast`; the rest through the
+    union+window path. Output schema matches :func:`asof_join`.
+    """
+    if head is None:
+        head = head_keys(right, key=on, top_k=top_k)
+    if not head:
+        return asof_join(left, right, on, left_ts, right_ts, value_cols)
+
+    is_head = F.col(on).isin(list(head))
+    tail_out = asof_join(
+        left.filter(~is_head), right.filter(~is_head),
+        on, left_ts, right_ts, value_cols,
+    )
+    head_out = asof_join_broadcast(
+        left.filter(is_head), right.filter(is_head),
+        on, left_ts, right_ts, value_cols,
+    )
+    return tail_out.unionByName(head_out.select(*tail_out.columns))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    n_salts: int = 16,
+    time_col: str | None = None,
+):
+    """Two-phase salted aggregation returning per-key
+    (sum, count, min, max) — the merge-able core; deterministic salt
+    from the time column (or the value column) hash."""
+    salt_src = time_col or agg_col
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.sum(agg_col).alias("s"),
+        F.count(agg_col).alias("c"),
+        F.min(agg_col).alias("mn"),
+        F.max(agg_col).alias("mx"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("s").alias("sum"),
+        F.sum("c").alias("count"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        (F.sum("s") / F.sum("c")).alias("mean"),
+    )
+
+
+def skew_report(df: DataFrame, key: str = "url", top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostics: total rows, distinct keys, and the
+    share held by the top-k keys — the planner signal for enabling the
+    head/tail split."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("rows"), F.count(F.lit(1)).alias("keys")
+    ).first()
+    top = counts.orderBy(F.desc("n")).limit(top_k).agg(F.sum("n")).first()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(total["rows"]), int(total["keys"]), int(top), float(top / total["rows"]))],
+        "total_rows long, distinct_keys long, topk_rows long, topk_share double",
+    )

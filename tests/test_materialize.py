@@ -1,0 +1,170 @@
+"""Checkpoint/resume + lineage (SURVEY.md §5: kill after unit j,
+resume, identical output + lineage rows) and skew plan splitting."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballet_spark.core import Feature
+from ballet_spark.operators.base import SparkFunctionTransformer
+from ballet_spark.operators.window_ops import ForwardFill, Lag
+from ballet_spark.functions.text import char_count
+from ballet_spark.plans.materialize import (
+    feature_set_id,
+    lineage_metrics,
+    materialize,
+    read_matrix,
+)
+from ballet_spark.plans.skew import asof_join_skew, head_keys, salted_agg, skew_report
+
+
+FEATS = [
+    Feature("text", SparkFunctionTransformer(char_count), output="n_chars"),
+    Feature(
+        "text",
+        [SparkFunctionTransformer(lambda c: char_count(c).cast("double")), Lag(1)],
+        output="len_lag1",
+    ),
+    Feature("lang", ForwardFill(), output="lang_ffill"),
+]
+
+
+def _canon(pdf):
+    pdf = pdf.drop(columns=[c for c in pdf.columns if c == "unit"])
+    return (
+        pdf.reindex(sorted(pdf.columns), axis=1)
+        .sort_values(["url", "warc_ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_materialize_resume_identical(spark, webtext_df, tmp_path):
+    base = str(tmp_path)
+    # one-shot reference materialization
+    materialize(
+        spark, webtext_df, FEATS,
+        f"{base}/ref", f"{base}/ref_lineage", "snap1", n_units=6,
+    )
+    ref = _canon(read_matrix(spark, f"{base}/ref").toPandas())
+
+    # crash after 2 units, then resume
+    with pytest.raises(RuntimeError, match="injected failure"):
+        materialize(
+            spark, webtext_df, FEATS,
+            f"{base}/out", f"{base}/lineage", "snap1",
+            n_units=6, fail_after_units=2,
+        )
+    lin = lineage_metrics(spark, f"{base}/lineage")
+    assert lin.count() == 2
+
+    summary = materialize(
+        spark, webtext_df, FEATS,
+        f"{base}/out", f"{base}/lineage", "snap1", n_units=6,
+    )
+    assert summary["units_skipped"] == 2
+    assert summary["units_computed"] == 4
+
+    got = _canon(read_matrix(spark, f"{base}/out").toPandas())
+    assert len(got) == len(ref)
+    for c in ("n_chars", "len_lag1"):
+        assert np.allclose(
+            got[c].to_numpy(float), ref[c].to_numpy(float), equal_nan=True
+        )
+    assert (got["lang_ffill"].fillna("∅") == ref["lang_ffill"].fillna("∅")).all()
+
+    # lineage: 6 rows, digests match the reference materialization's
+    lin = lineage_metrics(spark, f"{base}/lineage").toPandas().sort_values("unit")
+    ref_lin = (
+        lineage_metrics(spark, f"{base}/ref_lineage").toPandas().sort_values("unit")
+    )
+    assert len(lin) == 6
+    assert (lin["digest"].to_numpy() == ref_lin["digest"].to_numpy()).all()
+    assert (lin["row_count"].to_numpy() == ref_lin["row_count"].to_numpy()).all()
+    assert lin["row_count"].sum() == len(ref)
+
+
+def test_rerun_is_full_noop(spark, webtext_df, tmp_path):
+    base = str(tmp_path)
+    materialize(
+        spark, webtext_df, FEATS, f"{base}/o", f"{base}/l", "snapA", n_units=4
+    )
+    s2 = materialize(
+        spark, webtext_df, FEATS, f"{base}/o", f"{base}/l", "snapA", n_units=4
+    )
+    assert s2["units_computed"] == 0
+    # a NEW snapshot id recomputes everything
+    s3 = materialize(
+        spark, webtext_df, FEATS, f"{base}/o2", f"{base}/l", "snapB", n_units=4
+    )
+    assert s3["units_computed"] == 4
+
+
+def test_feature_set_id_sensitivity():
+    a = feature_set_id(FEATS)
+    b = feature_set_id(FEATS[:2])
+    assert a != b and len(a) == 16
+
+
+def test_head_keys_and_skew_report(webtext_df):
+    heads = head_keys(webtext_df, "url", top_k=5)
+    assert len(heads) == 5
+    rep = skew_report(webtext_df, "url").first()
+    assert rep["total_rows"] > 0 and 0 < rep["topk_share"] < 1
+
+
+def test_asof_join_skew_matches_plain(spark, webtext_df):
+    right = webtext_df.select(
+        "url", "warc_ts", F.length("text").cast("double").alias("text_len")
+    )
+    probes = webtext_df.select(
+        "url", (F.col("warc_ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    )
+    from ballet_spark.operators.asof import asof_join
+
+    plain = (
+        asof_join(probes, right, "url", "ts", "warc_ts")
+        .select("url", "ts", "text_len")
+        .toPandas()
+        .sort_values(["url", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    split = (
+        asof_join_skew(probes, right, "url", "ts", "warc_ts", top_k=5)
+        .select("url", "ts", "text_len")
+        .toPandas()
+        .sort_values(["url", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(split)
+    assert np.allclose(
+        plain["text_len"].to_numpy(float),
+        split["text_len"].to_numpy(float),
+        equal_nan=True,
+    )
+
+
+def test_salted_agg_matches_plain(spark, webtext_df):
+    df = webtext_df.withColumn("text_len", F.length("text").cast("double"))
+    got = (
+        salted_agg(df, "url", "text_len", n_salts=8, time_col="warc_ts")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupBy("url")
+        .agg(
+            F.sum("text_len").alias("sum"),
+            F.count("text_len").alias("count"),
+            F.min("text_len").alias("min"),
+            F.max("text_len").alias("max"),
+            F.avg("text_len").alias("mean"),
+        )
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    for c in ("sum", "count", "min", "max", "mean"):
+        assert np.allclose(got[c].to_numpy(float), exp[c].to_numpy(float))
