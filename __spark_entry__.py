@@ -401,10 +401,11 @@ def minhash_lsh_dups(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs, exact-verified at Jaccard ≥
     0.8 (64 hashes × 16 bands of 4 ⇒ recall ≥ 0.9998 at s=0.8, →1
     above; candidate rate for the ~0.1-similar background corpus is
-    ~0.16%, keeping the bucket join linear-ish). No SQL oracle (seeded
-    xxhash64 signatures aren't portable); the driver's rows-only check
-    applies, and pytest verifies against exact n-gram Jaccard incl. on
-    planted near-duplicates."""
+    ~0.16%, keeping the bucket join linear-ish). Oracle: the exact
+    n-gram Jaccard pair set at the same threshold — valid because this
+    corpus's >=0.8 pairs sit at s >= 0.9 where the LSH miss probability
+    is ~5e-8; pytest additionally verifies recall on planted
+    near-duplicates."""
     from ballet_spark.operators.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(
@@ -446,6 +447,247 @@ def embedding_neardups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def semi_anti_join(spark, sf_dir):
+    """Left-semi/anti joins (SURVEY.md §2.6): customers with and
+    without orders, tagged."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return with_orders.select(
+        "c_custkey", F.lit("has_orders").alias("tag")
+    ).unionByName(without.select("c_custkey", F.lit("no_orders").alias("tag")))
+
+
+def union_distinct_values(spark, sf_dir):
+    """Row-wise union + distinct (§2.6)."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("v"))
+    docs = _t(spark, sf_dir, "documents").select(F.col("lang").alias("v"))
+    return ev.unionByName(docs).distinct()
+
+
+def distinct_counts(spark, sf_dir):
+    """Exact distinct counts (V14 countunique)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("user_id", "event_type").alias("n_user_types"),
+    )
+
+
+def rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets (§2.6 gap list)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def pivot_event_values(spark, sf_dir):
+    """Pivot event_type → per-user sums (§2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"sum_{t}") for t in types]
+    )
+
+
+def range_join_next_hour(spark, sf_dir):
+    """Range/interval join (§2.6): count of same-user events within the
+    hour AFTER each event (exclusive start, inclusive end)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_id", "user_id", "ts")
+    b = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"))
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("ts2") > F.col("ts"))
+        & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.col("ts2")).alias("n_next_hour")
+    )
+
+
+def rolling_time_1h(spark, sf_dir):
+    """Time-based trailing window (RollingRange): mean value over the
+    preceding hour, inclusive."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import RollingRange
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", RollingRange("mean", 3600), output="r1h")],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("r1h", 4).alias("r1h"))
+    )
+
+
+def multi_lag_value(spark, sf_dir):
+    """FeatureUnion of laggers (C7/E17) — three lags, one WindowSpec."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import MultiLag
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", MultiLag([1, 2, 3]), output="ml")],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select(
+            "event_id",
+            F.round("ml_0", 4).alias("lag1"),
+            F.round("ml_1", 4).alias("lag2"),
+            F.round("ml_2", 4).alias("lag3"),
+        )
+    )
+
+
+def asof_tolerance_join(spark, sf_dir):
+    """As-of join with a 6-hour tolerance: stale matches are nulled."""
+    from ballet_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pv")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["pv"], tolerance_s=6 * 3600,
+    )
+    return out.select("event_id", F.round("pv", 4).alias("pv"))
+
+
+def fitted_minmax(spark, sf_dir):
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import MinMaxScaler
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", MinMaxScaler(), output="v_mm")],
+        entity_col="user_id", time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_mm", 4).alias("v_mm"))
+    )
+
+
+def fitted_winsorize(spark, sf_dir):
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import Winsorizer
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", Winsorizer(0.05, 0.95), output="v_w")],
+        entity_col="user_id", time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_w", 4).alias("v_w"))
+    )
+
+
+def fitted_kbins(spark, sf_dir):
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import KBinsDiscretizer
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", KBinsDiscretizer(4, "quantile"), output="v_bin")],
+        entity_col="user_id", time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.col("v_bin").cast("int").alias("v_bin"))
+    )
+
+
+def groupwise_scale(spark, sf_dir):
+    """Groupwise fitted scaler: per-event-type standardization via the
+    broadcast params join (E4 with a scaler inner)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import Groupwise, StandardScaler
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature(
+                "value",
+                Groupwise(StandardScaler(), by="event_type", handle_unknown="ignore"),
+                output="v_gs",
+            )
+        ],
+        entity_col="user_id", time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_gs", 4).alias("v_gs"))
+    )
+
+
+def ordinal_encode_lang(spark, sf_dir):
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.encoders import OrdinalEncoder
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("lang", OrdinalEncoder(), output="lang_ord")],
+        entity_col="doc_id", time_col="doc_id",
+    )
+    out = pipe.fit(docs).transform(docs)
+    return out.select("doc_id", F.col("lang_ord").alias("lang_ord"))
+
+
+def embedding_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path). No SQL oracle —
+    recall depends on bucketing; pytest checks bucket coherence and the
+    exact variant covers correctness."""
+    from ballet_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_ = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_lsh(emb, queries_, k=5, dim=64, n_planes=4)
+
+
+def doc_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint (pandas kernel). No SQL
+    oracle (polynomial rolling hash over utf-8 bytes isn't reasonably
+    expressible in SQL); pytest compares the shared pandas kernel."""
+    from ballet_spark.functions.text import rolling_fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint_col(F.col("text")).alias("fp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -472,6 +714,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": simhash_dups,
         "embedding_topk": embedding_topk,
         "embedding_neardups": embedding_neardups,
+        "semi_anti_join": semi_anti_join,
+        "union_distinct_values": union_distinct_values,
+        "distinct_counts": distinct_counts,
+        "rollup_orders": rollup_orders,
+        "pivot_event_values": pivot_event_values,
+        "range_join_next_hour": range_join_next_hour,
+        "rolling_time_1h": rolling_time_1h,
+        "multi_lag_value": multi_lag_value,
+        "asof_tolerance_join": asof_tolerance_join,
+        "fitted_minmax": fitted_minmax,
+        "fitted_winsorize": fitted_winsorize,
+        "fitted_kbins": fitted_kbins,
+        "groupwise_scale": groupwise_scale,
+        "ordinal_encode_lang": ordinal_encode_lang,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "doc_fingerprints": doc_fingerprints,
     }
 
 
@@ -685,6 +943,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.1
         """,
+        "minhash_lsh_dups": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)]) AS grams
+                FROM toks WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, len(grams) AS n FROM docs),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(shared::DOUBLE / (sa.n + sb.n - shared), 4) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 20),
@@ -705,5 +984,108 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, 'has_orders' AS tag FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS tag FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "union_distinct_values": """
+            SELECT DISTINCT v FROM (
+                SELECT event_type AS v FROM events
+                UNION ALL
+                SELECT lang AS v FROM documents)
+        """,
+        "distinct_counts": """
+            SELECT count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT event_type) AS n_types,
+                   count(DISTINCT (user_id, event_type)) AS n_user_types
+            FROM events
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "pivot_event_values": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type='click' THEN value END), 4) AS sum_click,
+                   round(sum(CASE WHEN event_type='view' THEN value END), 4) AS sum_view,
+                   round(sum(CASE WHEN event_type='purchase' THEN value END), 4) AS sum_purchase,
+                   round(sum(CASE WHEN event_type='signup' THEN value END), 4) AS sum_signup,
+                   round(sum(CASE WHEN event_type='error' THEN value END), 4) AS sum_error
+            FROM events GROUP BY user_id
+        """,
+        "range_join_next_hour": """
+            SELECT a.event_id, count(b.ts2) AS n_next_hour
+            FROM events a
+            LEFT JOIN (SELECT user_id AS u2, ts AS ts2 FROM events) b
+              ON a.user_id = b.u2
+              AND b.ts2 > a.ts
+              AND b.ts2 <= a.ts + INTERVAL 1 HOUR
+            GROUP BY a.event_id
+        """,
+        "rolling_time_1h": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW), 4) AS r1h
+            FROM events
+        """,
+        "multi_lag_value": """
+            SELECT event_id,
+                   round(lag(value, 1) OVER w, 4) AS lag1,
+                   round(lag(value, 2) OVER w, 4) AS lag2,
+                   round(lag(value, 3) OVER w, 4) AS lag3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "asof_tolerance_join": """
+            SELECT c.event_id,
+                   round(CASE WHEN epoch(c.ts) - epoch(p.ts) <= 6*3600
+                         THEN p.value END, 4) AS pv
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "fitted_minmax": """
+            SELECT event_id,
+                   round((value - min(value) OVER ()) /
+                         (max(value) OVER () - min(value) OVER ()), 4) AS v_mm
+            FROM events
+        """,
+        "fitted_winsorize": """
+            WITH q AS (SELECT quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi FROM events)
+            SELECT event_id,
+                   round(least(greatest(value, lo), hi), 4) AS v_w
+            FROM events, q
+        """,
+        "fitted_kbins": """
+            WITH q AS (SELECT quantile_cont(value, 0.25) AS q0,
+                              quantile_cont(value, 0.50) AS q1,
+                              quantile_cont(value, 0.75) AS q2 FROM events)
+            SELECT event_id,
+                   (CASE WHEN value <= q0 THEN 0
+                         WHEN value <= q1 THEN 1
+                         WHEN value <= q2 THEN 2
+                         ELSE 3 END)::INT AS v_bin
+            FROM events, q
+        """,
+        "groupwise_scale": """
+            SELECT event_id,
+                   round(CASE WHEN stddev_pop(value) OVER w <> 0
+                         THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+                         ELSE value - avg(value) OVER w END, 4) AS v_gs
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
+        "ordinal_encode_lang": """
+            SELECT doc_id,
+                   (dense_rank() OVER (ORDER BY lang) - 1)::DOUBLE AS lang_ord
+            FROM documents
         """,
     }

@@ -217,3 +217,65 @@ class FeatureEngineeringPipeline:
 
     def fit_transform(self, df: DataFrame, y: DataFrame | None = None) -> DataFrame:
         return self.fit(df, y).transform(df)
+
+
+class EncoderPipeline:
+    """y-only transformer pipeline (C8, ballet/encoder.py:7-55): the
+    label column runs through the same transformer algebra as features,
+    producing the encoded target column ``y``."""
+
+    def __init__(self, steps, y_col: str = "y"):
+        self.y_col = y_col
+        self._tr = desugar_transformer(list(steps) if isinstance(steps, (list, tuple)) else [steps])
+
+    def fit(self, df: DataFrame, ctx: PipelineContext | None = None):
+        self._ctx = ctx or PipelineContext(point_in_time=False)
+        self._tr.fit(df, [self.y_col], self._ctx)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out, names = self._tr.transform_df(df, [self.y_col], "y_encoded", self._ctx)
+        return out.select(*df.columns, *[F.col(n) for n in names])
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)
+
+
+@dataclass
+class EngineerFeaturesResult:
+    """C9 result bundle (ballet/pipeline.py:74-81): the wide matrix,
+    the features that produced it, the fitted pipeline, and the
+    (optionally encoded) target frame."""
+
+    X_df: DataFrame
+    features: list
+    pipeline: "FittedFeaturePipeline"
+    X: DataFrame
+    y_df: DataFrame | None = None
+    encoder: EncoderPipeline | None = None
+    y: DataFrame | None = None
+
+
+def engineer_features(
+    X_df: DataFrame,
+    features: Sequence[Feature],
+    y_df: DataFrame | None = None,
+    y_col: str | None = None,
+    encoder: EncoderPipeline | None = None,
+    entity_col: str = "url",
+    time_col: str = "warc_ts",
+) -> EngineerFeaturesResult:
+    """Build + fit the pipeline from all features, materialize the wide
+    matrix, optionally encode the target (ballet/pipeline.py:84-119)."""
+    pipe = FeatureEngineeringPipeline(
+        features, entity_col=entity_col, time_col=time_col
+    )
+    fitted = pipe.fit(X_df, y=y_col)
+    X = fitted.transform(X_df)
+    y = None
+    if encoder is not None and y_df is not None:
+        y = encoder.fit_transform(y_df)
+    return EngineerFeaturesResult(
+        X_df=X_df, features=list(features), pipeline=fitted, X=X,
+        y_df=y_df, encoder=encoder, y=y,
+    )

@@ -1,0 +1,149 @@
+"""Structured Streaming feature computation.
+
+The batch engine covers backfill (the north rule's primary job); this
+module covers the ONLINE side of the same semantics so a feature
+defined once can also be served incrementally:
+
+- :func:`stream_windowed_stats` — event-time tumbling/sliding window
+  aggregates with a watermark for late data;
+- :func:`stream_sessionize` — gap-based sessions via the native
+  ``session_window`` (the streaming analog of
+  :func:`ballet_spark.operators.sessionize.sessionize`);
+- :func:`stream_running_features` — per-entity running aggregates via
+  ``applyInPandasWithState`` (custom stateful operator: running count /
+  sum / last-non-null, i.e. the streaming forward-fill).
+
+Batch tests drive these with the file/memory sources and
+``processAllAvailable()`` — the same code runs against Kafka at scale
+(swap the reader), with state stored in the checkpoint location.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_windowed_stats(
+    events: DataFrame,
+    entity_col: str = "url",
+    time_col: str = "warc_ts",
+    value_col: str = "text_len",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregates per entity."""
+    w = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(w.alias("win"), F.col(entity_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(value_col).alias("mean_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            entity_col,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "mean_value",
+            "max_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    entity_col: str = "url",
+    time_col: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation with the native session_window."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("sess"),
+            F.col(entity_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            entity_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = "count long, total double, last_lang string"
+RUNNING_OUTPUT_SCHEMA = (
+    "url string, count long, mean_value double, last_lang string"
+)
+
+
+def _running_fn(key, pdf_iter, state):
+    """Stateful per-entity running aggregates (count, mean, last
+    non-null lang — the streaming forward-fill carry)."""
+    import pandas as pd
+
+    if state.exists:
+        count, total, last_lang = state.get
+    else:
+        count, total, last_lang = 0, 0.0, None
+    for pdf in pdf_iter:
+        count += len(pdf)
+        total += float(pdf["text_len"].fillna(0).sum())
+        non_null = pdf["lang"].dropna()
+        if len(non_null):
+            last_lang = non_null.iloc[-1]
+    state.update((count, total, last_lang))
+    yield pd.DataFrame(
+        {
+            "url": [key[0]],
+            "count": [count],
+            "mean_value": [total / count if count else None],
+            "last_lang": [last_lang],
+        }
+    )
+
+
+def stream_running_features(
+    events: DataFrame,
+    entity_col: str = "url",
+    time_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-entity
+    running count/mean + last-non-null carry (streaming ffill)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            _running_fn,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str):
+    """Drive a streaming DataFrame to completion against a memory sink
+    (batch-file sources only; test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,106 @@
+"""Multimodal plumbing, io sources/sinks, encoder pipeline, C9 bundle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballet_spark.core import (
+    EncoderPipeline,
+    Feature,
+    engineer_features,
+)
+from ballet_spark.functions.multimodal import (
+    attach_fake_media,
+    frame_sample_plan,
+    image_features,
+)
+from ballet_spark.functions.text import char_count
+from ballet_spark.operators.base import SparkFunctionTransformer
+from ballet_spark.sources.io import (
+    load_features,
+    load_table_from_config,
+    save_features,
+    table,
+)
+
+
+def test_image_features_fake_decoder(spark, webtext_df):
+    media = attach_fake_media(webtext_df.limit(50))
+    out = image_features(media, fake=True).toPandas()
+    assert len(out) == 50
+    assert set(out.columns) == {
+        "url", "warc_ts", "mime", "n_bytes", "width", "height",
+        "mean_luma", "phash",
+    }
+    assert (out["n_bytes"] > 0).all()
+    assert out["mean_luma"].between(0, 255).all()
+    # deterministic across repartitionings (no partition-dependent state)
+    out2 = image_features(media.repartition(7), fake=True).toPandas()
+    a = out.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    b = out2.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    assert (a["phash"].to_numpy() == b["phash"].to_numpy()).all()
+    assert np.allclose(a["mean_luma"].to_numpy(), b["mean_luma"].to_numpy())
+
+
+def test_image_features_real_path_raises(spark, webtext_df):
+    media = attach_fake_media(webtext_df.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        image_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark, webtext_df):
+    media = attach_fake_media(webtext_df.limit(10))
+    out = frame_sample_plan(media, n_frames=4).toPandas()
+    assert len(out) == 40
+    assert set(out["frame_idx"]) == {0, 1, 2, 3}
+    assert out["frame_bytes"].isna().all()  # decode stubbed
+
+
+def test_load_table_from_config(spark, tmp_path, webtext_pdf):
+    pq = str(tmp_path / "t.parquet")
+    csv = str(tmp_path / "t.csv")
+    df = spark.createDataFrame(webtext_pdf[["url", "lang"]].head(20))
+    df.write.parquet(pq)
+    df.write.option("header", "true").csv(csv)
+    got_pq = load_table_from_config(spark, {"name": "t", "path": pq})
+    got_csv = load_table_from_config(
+        spark, {"name": "t", "path": csv, "format": "csv"}
+    )
+    assert got_pq.count() == 20 and got_csv.count() == 20
+    with pytest.raises(ValueError, match="unsupported format"):
+        load_table_from_config(spark, {"path": pq, "format": "avro"})
+
+
+def test_save_load_features_roundtrip(spark, webtext_df, tmp_path):
+    m = webtext_df.select("url", "warc_ts", F.length("text").alias("tl"))
+    save_features(m, str(tmp_path / "m"))
+    back = load_features(spark, str(tmp_path / "m"))
+    assert back.count() == m.count()
+
+
+def test_iceberg_table_degrades_clearly(spark):
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        table(spark, "web.pages", snapshot_id=123)
+
+
+def test_encoder_pipeline_and_engineer_features(spark, webtext_df):
+    from ballet_spark.operators.fitted import StandardScaler
+
+    labels = webtext_df.select(
+        "url", "warc_ts", F.length("text").cast("double").alias("y")
+    )
+    enc = EncoderPipeline([StandardScaler()], y_col="y")
+    encoded = enc.fit_transform(labels)
+    assert "y_encoded" in encoded.columns
+    stats = encoded.agg(F.avg("y_encoded"), F.stddev_pop("y_encoded")).first()
+    assert abs(stats[0]) < 1e-9 and abs(stats[1] - 1.0) < 1e-6
+
+    res = engineer_features(
+        webtext_df,
+        [Feature("text", SparkFunctionTransformer(char_count), output="tl")],
+        y_df=labels,
+        encoder=EncoderPipeline([StandardScaler()], y_col="y"),
+    )
+    assert res.X.count() == webtext_df.count()
+    assert "tl" in res.X.columns
+    assert res.y is not None and "y_encoded" in res.y.columns

@@ -1,0 +1,117 @@
+"""Structured Streaming features vs batch oracles: identical semantics
+through the streaming path driven to completion on a file source."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballet_spark.sources.webtext import WEBTEXT_DDL
+from ballet_spark.streaming.stream_features import (
+    run_stream_to_memory,
+    stream_running_features,
+    stream_sessionize,
+    stream_windowed_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, webtext_pdf, tmp_path_factory):
+    """File-backed stream + batch twin. A far-future sentinel row pushes
+    the final watermark past every real window so append mode emits all
+    of them (otherwise the trailing window per the global max event
+    time stays unfinalized when the stream drains)."""
+    import pandas as pd
+
+    path = str(tmp_path_factory.mktemp("stream") / "pages")
+    sentinel = pd.DataFrame(
+        {
+            "url": ["__sentinel__"],
+            "warc_ts": [webtext_pdf["warc_ts"].max() + pd.Timedelta(days=30)],
+            "html": [b""],
+            "text": [""],
+            "lang": [None],
+        }
+    )
+    pdf = pd.concat([webtext_pdf, sentinel], ignore_index=True)
+    df = spark.createDataFrame(pdf).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    df.write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    real = F.col("url") != "__sentinel__"
+    return (
+        spark.readStream.schema(schema).parquet(path),
+        spark.read.parquet(path).filter(real),
+    )
+
+
+def test_stream_windowed_stats_matches_batch(spark, stream_source):
+    stream, batch = stream_source
+    out = stream_windowed_stats(stream, window="6 hours")
+    run_stream_to_memory(out, "win_out", "append")
+    got = (
+        spark.sql("select * from win_out where url != '__sentinel__'")
+        .toPandas()
+        .sort_values(["url", "window_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        batch.groupBy(F.window("warc_ts", "6 hours").alias("win"), "url")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("text_len").alias("mean_value"),
+            F.max("text_len").alias("max_value"),
+        )
+        .select(
+            "url",
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "mean_value",
+        )
+        .toPandas()
+        .sort_values(["url", "window_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert np.allclose(
+        got["mean_value"].to_numpy(float), exp["mean_value"].to_numpy(float)
+    )
+
+
+def test_stream_sessionize_matches_batch_gaps(spark, stream_source, webtext_pdf):
+    stream, _ = stream_source
+    out = stream_sessionize(stream, gap="30 minutes")
+    run_stream_to_memory(out, "sess_out", "append")
+    got = spark.sql(
+        "select * from sess_out where url != '__sentinel__'"
+    ).toPandas()
+    # oracle: pandas gap-based session count per url (session_window
+    # closes when the NEXT event is > gap after the previous)
+    pdf = webtext_pdf.sort_values(["url", "warc_ts"])
+    gaps = pdf.groupby("url")["warc_ts"].diff().dt.total_seconds()
+    n_sessions = ((gaps > 1800) | gaps.isna()).groupby(pdf["url"]).sum()
+    got_counts = got.groupby("url").size()
+    assert (got_counts.sort_index() == n_sessions.sort_index()).all()
+    # event counts conserved
+    assert got["n_events"].sum() == len(webtext_pdf)
+
+
+def test_stream_running_features_state(spark, stream_source, webtext_pdf):
+    stream, _ = stream_source
+    out = stream_running_features(stream)
+    run_stream_to_memory(out, "run_out", "update")
+    got = spark.sql(
+        "select * from run_out where url != '__sentinel__'"
+    ).toPandas()
+    # one batch ⇒ one state row per url with full counts
+    exp_counts = webtext_pdf.groupby("url").size()
+    got_counts = got.set_index("url")["count"]
+    assert (got_counts.sort_index() == exp_counts.sort_index()).all()
+    exp_mean = webtext_pdf.assign(tl=webtext_pdf["text"].str.len()).groupby("url")[
+        "tl"
+    ].mean()
+    assert np.allclose(
+        got.set_index("url")["mean_value"].sort_index().to_numpy(float),
+        exp_mean.sort_index().to_numpy(float),
+    )
