@@ -1,0 +1,131 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the math; these prove the PLANS stay in the
+shape that survives 100 TB: one exchange+sort+window for all same-spec
+window features, broadcast (never shuffled big side) for fitted params
+and encoders, column pruning down to the parquet reader, and filter
+pushdown. A regression here is a performance bug even if results stay
+correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballet_spark.core import Feature, FeatureEngineeringPipeline
+from ballet_spark.functions.text import char_count, token_count
+from ballet_spark.operators.base import SparkFunctionTransformer as Fn
+from ballet_spark.operators.encoders import CountEncoder, TargetEncoder
+from ballet_spark.operators.fitted import Groupwise, SimpleImputer
+from ballet_spark.operators.sessionize import SessionId
+from ballet_spark.operators.window_ops import ForwardFill, Lag, Rolling
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, webtext_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    spark.createDataFrame(webtext_pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_window_features_share_one_exchange_and_sort(spark, pages_parquet):
+    """lag + rolling + ffill + session over the same (entity, time)
+    spec must plan ONE Exchange, ONE Sort, ONE Window node."""
+    pages = spark.read.parquet(pages_parquet).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    feats = [
+        Feature("text_len", Lag(1), output="l1"),
+        Feature("text_len", Rolling("mean", 3), output="rm"),
+        Feature("lang", ForwardFill(), output="lf"),
+        Feature("url", SessionId(gap_s=3600), output="sid"),
+    ]
+    out = FeatureEngineeringPipeline(feats).fit(pages).transform(pages)
+    plan = _plan(out)
+    # session id needs a lag (unbounded-free spec) + running-sum frame;
+    # Catalyst may keep ≤2 Window nodes but must NOT exchange per feature
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort") <= 2
+    assert plan.count("Window") <= 3
+
+
+def test_column_pruning_reaches_parquet_reader(spark, pages_parquet):
+    """A text-only feature must not read html from parquet."""
+    pages = spark.read.parquet(pages_parquet)
+    out = (
+        FeatureEngineeringPipeline(
+            [Feature("text", Fn(char_count), output="tl")]
+        )
+        .fit(pages)
+        .transform(pages)
+    )
+    plan = _plan(out)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema
+    assert "text" in read_schema
+
+
+def test_filter_pushdown_to_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    out = pages.filter(F.col("lang") == "en").select("url", "lang")
+    plan = _plan(out)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, plan
+
+
+def test_fitted_params_join_is_broadcast(spark, pages_parquet):
+    """Groupwise + encoders must broadcast the params table — the big
+    side is never shuffled for a fitted transform."""
+    pages = spark.read.parquet(pages_parquet).withColumn(
+        "text_len", F.length("text").cast("double")
+    ).withColumn(
+        "domain", F.regexp_extract("url", "https://([^/]+)/", 1)
+    ).withColumn("y", (F.length("text") > 300).cast("double"))
+    feats = [
+        Feature(
+            "text_len",
+            Groupwise(SimpleImputer("mean"), by="domain", handle_unknown="ignore"),
+            output="gi",
+        ),
+        Feature("domain", TargetEncoder(), output="te"),
+        Feature("domain", CountEncoder(), output="ce"),
+    ]
+    out = FeatureEngineeringPipeline(feats).fit(pages, y="y").transform(pages)
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+    # the probe side has no exchange before the joins
+    first_bhj = plan.index("BroadcastHashJoin")
+    probe_section = plan[first_bhj:]
+    assert "Exchange hashpartitioning" not in plan[:first_bhj]
+
+
+def test_expression_features_fuse_into_one_codegen_project(spark, pages_parquet):
+    """All stateless text features compile into a single whole-stage
+    codegen'd Project — no per-feature passes."""
+    pages = spark.read.parquet(pages_parquet)
+    feats = [
+        Feature("text", Fn(char_count), output="a"),
+        Feature("text", Fn(token_count), output="b"),
+        Feature("text", Fn(lambda c: F.length(F.upper(c))), output="c"),
+    ]
+    out = FeatureEngineeringPipeline(feats).fit(pages).transform(pages)
+    plan = _plan(out)
+    assert plan.count("Project") == 1, plan
+    # '*(n)' prefixes mark whole-stage-codegen stages in the string form
+    assert plan.lstrip().startswith("*("), plan
+
+
+def test_asof_join_single_exchange(spark, pages_parquet):
+    from ballet_spark.operators.asof import asof_join
+
+    pages = spark.read.parquet(pages_parquet)
+    right = pages.select("url", "warc_ts", F.length("text").cast("double").alias("v"))
+    probes = pages.select("url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
+    out = asof_join(probes, right, "url", "ts", "warc_ts")
+    plan = _plan(out)
+    # union + one window: exactly one hash exchange on the entity
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1
