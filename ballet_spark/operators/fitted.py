@@ -426,3 +426,28 @@ class GroupedApply(SparkTransformer):
         new = [c for c in out.columns if c not in df.columns]
         # caller must join back if alignment with df is needed
         return out, new
+
+
+class KNNImputer(SparkTransformer):
+    """Flagged-hard in SURVEY.md §2.3: exact KNN imputation requires an
+    all-pairs neighbor search that does not decompose into Catalyst
+    primitives. Deliberately unimplemented — use
+    :class:`Groupwise`(:class:`SimpleImputer`) for the distributed
+    analog, or an approximate per-partition variant in a later round."""
+
+    def __init__(self, *a, **k):
+        raise NotImplementedError(
+            "KNNImputer is not distributable exactly; use "
+            "Groupwise(SimpleImputer(...)) or LSH-bucketed neighbors"
+        )
+
+
+class IterativeImputer(SparkTransformer):
+    """Flagged-hard in SURVEY.md §2.3 (round-robin regression
+    imputation is inherently iterative/driver-coordinated).
+    Deliberately unimplemented in v1."""
+
+    def __init__(self, *a, **k):
+        raise NotImplementedError(
+            "IterativeImputer is out of scope for v1; see SURVEY.md §2.3"
+        )

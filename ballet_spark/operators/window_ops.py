@@ -194,3 +194,62 @@ class TimeSinceLast(SparkTransformer):
         w = entity_window(ctx)
         ts = F.col(ctx.time_col).cast("timestamp").cast("double")
         return [(ts - F.lag(ts, 1).over(w)).cast("double")]
+
+
+class SeasonalLag(SparkTransformer):
+    """Value one season ago: ``lag(seasonal_period)`` (skits
+    SeasonalTransformer, ballet/eng/external/skits.py:22)."""
+
+    def __init__(self, seasonal_period: int):
+        self.seasonal_period = seasonal_period
+
+    def transform_exprs(self, in_exprs, ctx):
+        w = entity_window(ctx)
+        return [F.lag(e, self.seasonal_period).over(w) for e in in_exprs]
+
+
+class FourierFeatures(SparkTransformer):
+    """sin/cos basis of the entity's snapshot index: 2*n_terms columns
+    ``sin(2π k t/T), cos(2π k t/T)`` (skits FourierTransformer,
+    ballet/eng/external/skits.py:28)."""
+
+    def __init__(self, period: float, n_terms: int = 2):
+        self.period = period
+        self.n_terms = n_terms
+
+    def transform_exprs(self, in_exprs, ctx):
+        import math
+
+        w = entity_window(ctx)
+        t = (F.row_number().over(w) - F.lit(1)).cast("double")
+        out = []
+        for k in range(1, self.n_terms + 1):
+            ang = t * F.lit(2.0 * math.pi * k / self.period)
+            out.append(F.sin(ang))
+            out.append(F.cos(ang))
+        return out
+
+
+class Trend(SparkTransformer):
+    """Rolling OLS slope of the value against the snapshot index over a
+    trailing window (skits TrendTransformer semantics): slope =
+    (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²) computed with windowed sums —
+    pure expressions, shares the entity WindowSpec."""
+
+    def __init__(self, window: int = 5):
+        self.window = window
+
+    def transform_exprs(self, in_exprs, ctx):
+        w = entity_window(ctx).rowsBetween(-(self.window - 1), 0)
+        idx = (F.row_number().over(entity_window(ctx)) - 1).cast("double")
+        out = []
+        for e in in_exprs:
+            y = e.cast("double")
+            n = F.count(y).over(w).cast("double")
+            st = F.sum(idx).over(w)
+            sy = F.sum(y).over(w)
+            sty = F.sum(idx * y).over(w)
+            stt = F.sum(idx * idx).over(w)
+            denom = n * stt - st * st
+            out.append(F.when(denom != 0, (n * sty - st * sy) / denom))
+        return out
