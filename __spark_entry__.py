@@ -688,6 +688,47 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+def asof_skew_split(spark, sf_dir):
+    """As-of join with explicit head/tail plan splitting (hot keys take
+    the broadcast path) — must equal the plain as-of join, so it shares
+    the DuckDB ASOF oracle."""
+    from ballet_spark.plans.skew import asof_join_skew
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join_skew(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["purchase_value"], top_k=10,
+    )
+    return out.select(
+        "event_id", F.round("purchase_value", 4).alias("purchase_value")
+    )
+
+
+def discrete_mutual_information(spark, sf_dir):
+    """EXACT distributed mutual information for discrete columns
+    (V2's Shannon path: one groupBy count per marginal/joint — no
+    sampling, runs at any scale). MI(event_type; high_value)."""
+    from ballet_spark.validation.entropy import shannon_entropy_spark
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "high_value", (F.col("value") > 100).cast("int")
+    )
+    h_x = shannon_entropy_spark(ev, ["event_type"])
+    h_y = shannon_entropy_spark(ev, ["high_value"])
+    h_xy = shannon_entropy_spark(ev, ["event_type", "high_value"])
+    mi = max(0.0, h_x + h_y - h_xy)
+    return spark.createDataFrame(
+        [(round(h_x, 6), round(h_y, 6), round(mi, 8))],
+        "h_event_type double, h_high_value double, mi double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -730,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_encode_lang": ordinal_encode_lang,
         "embedding_lsh_topk": embedding_lsh_topk,
         "doc_fingerprints": doc_fingerprints,
+        "asof_skew_split": asof_skew_split,
+        "discrete_mutual_information": discrete_mutual_information,
     }
 
 
@@ -1087,5 +1130,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (dense_rank() OVER (ORDER BY lang) - 1)::DOUBLE AS lang_ord
             FROM documents
+        """,
+        "asof_skew_split": """
+            SELECT c.event_id, round(p.value, 4) AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "discrete_mutual_information": """
+            WITH ev AS (SELECT event_type,
+                               CASE WHEN value > 100 THEN 1 ELSE 0 END AS hv
+                        FROM events),
+            hx AS (SELECT ln(count(*) OVER ()) -
+                          sum(n * ln(n)) OVER () / (count(*) OVER ()) AS h
+                   FROM (SELECT count(*)::DOUBLE n FROM ev GROUP BY event_type)
+                   LIMIT 1),
+            hy AS (SELECT ln(count(*) OVER ()) * 0 +
+                          ln((SELECT count(*) FROM ev)) -
+                          sum(n * ln(n)) / (SELECT count(*) FROM ev) AS h
+                   FROM (SELECT count(*)::DOUBLE n FROM ev GROUP BY hv)),
+            hx2 AS (SELECT ln((SELECT count(*) FROM ev)) -
+                           sum(n * ln(n)) / (SELECT count(*) FROM ev) AS h
+                    FROM (SELECT count(*)::DOUBLE n FROM ev GROUP BY event_type)),
+            hxy AS (SELECT ln((SELECT count(*) FROM ev)) -
+                           sum(n * ln(n)) / (SELECT count(*) FROM ev) AS h
+                    FROM (SELECT count(*)::DOUBLE n FROM ev
+                          GROUP BY event_type, hv))
+            SELECT round(hx2.h, 6) AS h_event_type,
+                   round(hy.h, 6) AS h_high_value,
+                   round(greatest(hx2.h + hy.h - hxy.h, 0.0), 8) AS mi
+            FROM hx2, hy, hxy
         """,
     }
