@@ -128,7 +128,7 @@ def topk_docs_per_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
-        docs.withColumn("rank", F.row_number().over(w))
+        docs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("source", "doc_id", "n_chars", "rank")
     )
@@ -434,7 +434,8 @@ def embedding_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20)
     out = cosine_topk(emb, queries, k=5)
     return out.select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
     )
 
 
@@ -862,8 +863,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_30m": """
             SELECT event_id,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
                        AS session_id
             FROM (
                 SELECT event_id, user_id, ts,
@@ -875,8 +876,8 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_30m": """
             WITH s AS (
                 SELECT user_id, ts,
-                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
                            AS session_id
                 FROM (
                     SELECT user_id, ts,
