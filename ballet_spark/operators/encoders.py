@@ -373,3 +373,122 @@ class RareLabelEncoder(JoinFittedEncoder):
             )
             out_names.append(name)
         return cur, out_names
+
+
+class MeanEncoder(JoinFittedEncoder):
+    """Unsmoothed per-category target mean (feature_engine MeanEncoder).
+    Unseen ⇒ prior."""
+
+    needs_y = True
+
+    def _global_fit(self, df, y):
+        self.prior_ = df.agg(F.avg(F.col(y).cast("double"))).first()[0]
+
+    def _fit_aggs(self, y):
+        return [F.avg(F.col(y).cast("double")).alias("__m")]
+
+    def _enc_expr(self):
+        return F.col("__m")
+
+    def _default(self):
+        return F.lit(self.prior_)
+
+
+class FrequencyEncoder(CountEncoder):
+    """Category → train frequency FRACTION (feature_engine
+    CountFrequencyEncoder with encoding_method='frequency')."""
+
+    def _global_fit(self, df, y):
+        self.n_ = df.count()
+
+    def _enc_expr(self):
+        return F.col("__n").cast("double") / F.lit(float(self.n_))
+
+
+class BaseNEncoder(SparkTransformer):
+    """Ordinal index in base N as digit columns (category_encoders
+    BaseNEncoder; base=2 ⇒ BinaryEncoder). Fit collects the sorted
+    category list (driver-side, guarded); transform is a when-chain to
+    the index plus arithmetic digit extraction — no join."""
+
+    def __init__(self, base: int = 2, max_categories: int = 10000):
+        self.base = base
+        self.max_categories = max_categories
+
+    def fit(self, df, cols, ctx, y=None):
+        self._cols = cols
+        self.categories_ = {}
+        for c in cols:
+            cats = [
+                r[0]
+                for r in df.select(c).distinct().orderBy(c).limit(
+                    self.max_categories + 1
+                ).collect()
+                if r[0] is not None
+            ]
+            if len(cats) > self.max_categories:
+                raise ValueError(f"{c}: too many categories for BaseNEncoder")
+            self.categories_[c] = cats
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        import math
+
+        out = []
+        for e, c in zip(in_exprs, self._cols):
+            cats = self.categories_[c]
+            idx = F.lit(-1)
+            for i, cat in enumerate(cats):
+                idx = F.when(e == F.lit(cat), F.lit(i)).otherwise(idx)
+            n_digits = max(1, math.ceil(math.log(max(len(cats), 2), self.base)))
+            for d in range(n_digits):
+                out.append(
+                    F.pmod(
+                        F.floor(idx / F.lit(self.base**d)), F.lit(self.base)
+                    ).cast("int")
+                )
+        return out
+
+
+class BinaryEncoder(BaseNEncoder):
+    """category_encoders BinaryEncoder = BaseNEncoder(base=2)."""
+
+    def __init__(self, max_categories: int = 10000):
+        super().__init__(base=2, max_categories=max_categories)
+
+
+class OrderedTargetEncoder(SparkTransformer):
+    """CatBoost-style ORDERED target encoding, point-in-time native:
+    each row is encoded with the running target statistics of its
+    category STRICTLY BEFORE the row's event time —
+    ``(sum_y_before + a*prior) / (n_before + a)`` — so train rows never
+    see their own or future labels (category_encoders CatBoostEncoder
+    semantics with the engine's time column as the permutation order;
+    zero-leakage by construction). One window over (category, time)."""
+
+    def __init__(self, y_col: str, a: float = 1.0):
+        self.y_col = y_col
+        self.a = a
+
+    def fit(self, df, cols, ctx, y=None):
+        self._cols = cols
+        ycol = y or self.y_col
+        self.prior_ = df.agg(F.avg(F.col(ycol).cast("double"))).first()[0]
+        self._fitted_y = ycol
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        from pyspark.sql import Window
+
+        out = []
+        for e in in_exprs:
+            w = (
+                Window.partitionBy(e)
+                .orderBy(F.col(ctx.time_col))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            y = F.col(self._fitted_y).cast("double")
+            s = F.coalesce(F.sum(y).over(w), F.lit(0.0))
+            n = F.coalesce(F.count(y).over(w), F.lit(0)).cast("double")
+            out.append((s + F.lit(self.a * self.prior_)) / (n + F.lit(self.a)))
+        return out

@@ -451,3 +451,93 @@ class IterativeImputer(SparkTransformer):
         raise NotImplementedError(
             "IterativeImputer is out of scope for v1; see SURVEY.md §2.3"
         )
+
+
+class ArbitraryDiscretiser(SparkTransformer):
+    """Bin by user-supplied boundaries (feature_engine
+    ArbitraryDiscretiser): bin i ⇔ bins[i] < x <= bins[i+1]; outside ⇒
+    clipped to the first/last bin. Stateless (boundaries are given)."""
+
+    def __init__(self, bins: list[float]):
+        if len(bins) < 2:
+            raise ValueError("need at least 2 boundaries")
+        self.bins = list(bins)
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        n_bins = len(self.bins) - 1
+        for e in in_exprs:
+            expr = F.lit(n_bins - 1)
+            for i in reversed(range(n_bins)):
+                expr = F.when(e <= F.lit(self.bins[i + 1]), F.lit(i)).otherwise(expr)
+            out.append(expr.cast("int"))
+        return out
+
+
+class ArbitraryOutlierCapper(SparkTransformer):
+    """Clamp to fixed bounds (feature_engine ArbitraryOutlierCapper)."""
+
+    def __init__(self, min_value: float | None = None, max_value: float | None = None):
+        self.min_value = min_value
+        self.max_value = max_value
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        for e in in_exprs:
+            x = e.cast("double")
+            capped = x
+            if self.min_value is not None:
+                capped = F.greatest(capped, F.lit(float(self.min_value)))
+            if self.max_value is not None:
+                capped = F.least(capped, F.lit(float(self.max_value)))
+            # Spark least/greatest order NaN as largest — pass missing
+            # values through untouched instead of capping them
+            out.append(F.when(x.isNull() | F.isnan(x), x).otherwise(capped))
+        return out
+
+
+class EndTailImputer(AggFittedTransformer):
+    """Impute nulls with a tail value learned on train:
+    ``mean + 3*std`` ('gaussian') or the 75th percentile + 3*IQR
+    ('iqr') (feature_engine EndTailImputer)."""
+
+    def __init__(self, method: str = "gaussian", exact: bool = True):
+        if method not in ("gaussian", "iqr"):
+            raise ValueError(method)
+        self.method = method
+        self.exact = exact
+
+    def _agg_exprs(self, c):
+        if self.method == "gaussian":
+            return {"m": F.avg(c), "s": F.stddev_samp(c)}
+        pct = F.percentile if self.exact else (
+            lambda col, q: F.percentile_approx(col, q, F.lit(10000))
+        )
+        return {"q3": pct(c, F.lit(0.75)), "q1": pct(c, F.lit(0.25))}
+
+    def _apply(self, e, p):
+        if self.method == "gaussian":
+            tail = p["m"] + 3.0 * p["s"]
+        else:
+            tail = p["q3"] + 3.0 * (p["q3"] - p["q1"])
+        return F.coalesce(e.cast("double"), tail)
+
+
+def drop_missing(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Row filter: drop rows with nulls in ``cols`` (feature_engine
+    DropMissingData — a plan-level filter, not a column transform)."""
+    out = df
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out
+
+
+def trim_outliers(
+    df: DataFrame, col: str, lower_q: float = 0.05, upper_q: float = 0.95
+) -> DataFrame:
+    """Row filter at train quantiles (feature_engine OutlierTrimmer)."""
+    lo, hi = df.agg(
+        F.percentile(F.col(col), F.lit(lower_q)),
+        F.percentile(F.col(col), F.lit(upper_q)),
+    ).first()
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
