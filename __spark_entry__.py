@@ -730,6 +730,63 @@ def discrete_mutual_information(spark, sf_dir):
     )
 
 
+def ordered_target_encode(spark, sf_dir):
+    """CatBoost-style ordered target encoding over event time: each
+    event's category (event_type) encoded with strictly-earlier labels
+    only — zero-leakage by construction (OrderedTargetEncoder). Output
+    is the exact integer numerator/denominator of the encoding
+    ((s*C + S), (n+1)*C): the float encoding can land exactly on
+    decimal-rounding boundaries where Spark's HALF_UP BigDecimal round
+    and DuckDB's float round disagree on the identical double, so the
+    contract emits the exact rational instead."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.encoders import OrderedTargetEncoder
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "y", (F.col("value") > 100).cast("double")
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("event_type", OrderedTargetEncoder(y_col="y", a=1.0), output="ote")],
+        entity_col="user_id",
+        time_col="ts",
+    )
+    out = pipe.fit(ev, y="y").transform(ev)
+    exact = _ote_exact(spark, sf_dir)
+    # sanity-tie the operator output to the exact rational, then emit
+    # the integer form (ote is bit-equal to ote_num/ote_den by
+    # construction; the division is one IEEE op on exact operands)
+    joined = (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .join(exact, "event_id")
+        .filter(
+            F.abs(F.col("ote") - F.col("ote_num") / F.col("ote_den")) < 1e-12
+        )
+    )
+    return joined.select("event_id", "ote_num", "ote_den")
+
+
+def _ote_exact(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "y", (F.col("value") > 100).cast("double")
+    )
+    tot = ev.agg(F.sum("y").alias("S"), F.count("y").alias("C")).first()
+    S, C = float(tot["S"]), float(tot["C"])
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s_ = F.coalesce(F.sum("y").over(w), F.lit(0.0))
+    n_ = F.coalesce(F.count("y").over(w), F.lit(0)).cast("double")
+    return ev.select(
+        "event_id",
+        (s_ * F.lit(C) + F.lit(S)).cast("bigint").alias("ote_num"),
+        ((n_ + F.lit(1.0)) * F.lit(C)).cast("bigint").alias("ote_den"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -774,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "asof_skew_split": asof_skew_split,
         "discrete_mutual_information": discrete_mutual_information,
+        "ordered_target_encode": ordered_target_encode,
     }
 
 
@@ -1131,6 +1189,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (dense_rank() OVER (ORDER BY lang) - 1)::DOUBLE AS lang_ord
             FROM documents
+        """,
+        "ordered_target_encode": """
+            WITH ev AS (SELECT event_id, event_type, ts,
+                               CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END AS y
+                        FROM events),
+            tot AS (SELECT sum(y) AS S, count(y)::DOUBLE AS C FROM ev)
+            SELECT event_id,
+                   (coalesce(sum(y) OVER w, 0) * C + S)::BIGINT AS ote_num,
+                   ((coalesce(count(y) OVER w, 0) + 1) * C)::BIGINT AS ote_den
+            FROM ev, tot
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
         "asof_skew_split": """
             SELECT c.event_id, round(p.value, 4) AS purchase_value

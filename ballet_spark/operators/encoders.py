@@ -473,7 +473,12 @@ class OrderedTargetEncoder(SparkTransformer):
     def fit(self, df, cols, ctx, y=None):
         self._cols = cols
         ycol = y or self.y_col
-        self.prior_ = df.agg(F.avg(F.col(ycol).cast("double"))).first()[0]
+        row = df.agg(
+            F.sum(F.col(ycol).cast("double")).alias("s"),
+            F.count(F.col(ycol)).alias("c"),
+        ).first()
+        self.sum_, self.count_ = float(row["s"]), float(row["c"])
+        self.prior_ = self.sum_ / self.count_
         self._fitted_y = ycol
         return self
 
@@ -490,5 +495,13 @@ class OrderedTargetEncoder(SparkTransformer):
             y = F.col(self._fitted_y).cast("double")
             s = F.coalesce(F.sum(y).over(w), F.lit(0.0))
             n = F.coalesce(F.count(y).over(w), F.lit(0)).cast("double")
-            out.append((s + F.lit(self.a * self.prior_)) / (n + F.lit(self.a)))
+            # rational form (s*C + a*S) / ((n+a)*C): for integer-valued
+            # labels this is ONE division of exactly-representable
+            # operands, so independent engines produce bit-identical
+            # doubles (prior-first formulations differ in the last ulp
+            # and flip rounding boundaries)
+            C, S = F.lit(self.count_), F.lit(self.sum_)
+            out.append(
+                (s * C + F.lit(self.a) * S) / ((n + F.lit(self.a)) * C)
+            )
         return out
