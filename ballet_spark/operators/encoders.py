@@ -246,14 +246,17 @@ def loo_encode_train(
     df: DataFrame, cat_col: str, y_col: str, out_col: str
 ) -> DataFrame:
     """LOO encoding of the train rows: window sum/count per category
-    minus the own row — no join, one exchange on the category key."""
+    minus the own row — no join, one exchange on the category key.
+    The singleton-category fallback (prior) is a scalar aggregate
+    collected once, NOT a global window (which would funnel every row
+    through one partition)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(cat_col)
     yc = F.col(y_col).cast("double")
     s, n = F.sum(yc).over(w), F.count(F.lit(1)).over(w)
-    prior = F.avg(yc).over(Window.partitionBy())
-    enc = F.when(n > 1, (s - yc) / (n - 1)).otherwise(prior)
+    prior = df.agg(F.avg(yc)).first()[0]
+    enc = F.when(n > 1, (s - yc) / (n - 1)).otherwise(F.lit(prior))
     return df.withColumn(out_col, enc)
 
 

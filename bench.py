@@ -156,6 +156,9 @@ def headline_queries(spark, sf_dir):
         t0 = time.perf_counter()
         qs[n](spark, sf_dir).count()
         out[n] = round(time.perf_counter() - t0, 3)
+        # drop caches (e.g. minhash's persisted band table) so later
+        # queries aren't squeezed by accumulated executor memory
+        spark.catalog.clearCache()
     return out
 
 
