@@ -787,6 +787,34 @@ def _ote_exact(spark, sf_dir):
     )
 
 
+def cube_orders(spark, sf_dir):
+    """CUBE grouping sets over two dims (§2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def boxcox_value(spark, sf_dir):
+    """BoxCox fitted on train skewness (E12): the per-column decision
+    (|population skew| > 0.5) compiles at plan time; oracle recomputes
+    the same population skewness via central moments."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.fitted import BoxCoxTransformer
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", BoxCoxTransformer(threshold=0.5), output="v_bc")],
+        entity_col="user_id", time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    return (
+        out.join(ev.select("user_id", "ts", "event_id"), ["user_id", "ts"])
+        .select("event_id", F.round("v_bc", 4).alias("v_bc"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -832,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_skew_split": asof_skew_split,
         "discrete_mutual_information": discrete_mutual_information,
         "ordered_target_encode": ordered_target_encode,
+        "cube_orders": cube_orders,
+        "boxcox_value": boxcox_value,
     }
 
 
@@ -1201,6 +1231,23 @@ def oracle_sql() -> dict[str, str]:
             FROM ev, tot
             WINDOW w AS (PARTITION BY event_type ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "boxcox_value": """
+            WITH m AS (SELECT avg(value) AS mu FROM events),
+            cm AS (SELECT avg(pow(value - mu, 2)) AS m2,
+                          avg(pow(value - mu, 3)) AS m3
+                   FROM events, m),
+            sk AS (SELECT m3 / pow(m2, 1.5) AS g1 FROM cm)
+            SELECT event_id,
+                   round(CASE WHEN abs(g1) > 0.5 THEN ln(1 + value)
+                         ELSE value END, 4) AS v_bc
+            FROM events, sk
         """,
         "asof_skew_split": """
             SELECT c.event_id, round(p.value, 4) AS purchase_value
