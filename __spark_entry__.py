@@ -18,7 +18,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+_SHIPPED = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver may hand us ITS OWN SparkSession (not built by
+    ballet_spark.session.get_spark), in which case the package was
+    never shipped to executor Python workers — pandas-UDF queries
+    would fail with ModuleNotFoundError. Ship once per session."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from ballet_spark.session import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped, or a cluster where --py-files handled it
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
