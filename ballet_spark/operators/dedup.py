@@ -54,12 +54,21 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def word_ngrams(text_col, n: int = 3):
-    """Distinct word n-grams of a text column (array<string>)."""
+    """Distinct word n-grams of a text column (array<string>).
+
+    Docs with fewer than ``n`` tokens (including empty text) yield an
+    empty array — without the guard, ``sequence`` would descend and
+    ``slice`` would be called with start <= 0 (INVALID_PARAMETER_VALUE),
+    killing the whole job on the first short document.
+    """
     toks = F.split(F.trim(text_col), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

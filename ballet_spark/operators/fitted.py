@@ -376,9 +376,12 @@ class Groupwise(SparkTransformer):
         return None  # requires the params-table join
 
     def transform_df(self, df, cols, alias, ctx):
+        # eqNullSafe: fit's groupBy produces a params row for the NULL
+        # group, so NULL-keyed transform rows must match it (same
+        # convention as encoders.py) instead of being treated as unseen.
         joined = df.join(
             F.broadcast(self.params_df_),
-            df[self.by] == F.col("__g"),
+            df[self.by].eqNullSafe(F.col("__g")),
             "left",
         )
         out_names = []

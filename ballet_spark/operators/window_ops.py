@@ -246,10 +246,13 @@ class Trend(SparkTransformer):
         for e in in_exprs:
             y = e.cast("double")
             n = F.count(y).over(w).cast("double")
-            st = F.sum(idx).over(w)
+            # mask the index sums by y's nullness so every sum ranges
+            # over the same (non-null) rows as n — otherwise NULL values
+            # in the window mix inconsistent sums into the slope
+            st = F.sum(F.when(y.isNotNull(), idx)).over(w)
             sy = F.sum(y).over(w)
             sty = F.sum(idx * y).over(w)
-            stt = F.sum(idx * idx).over(w)
+            stt = F.sum(F.when(y.isNotNull(), idx * idx)).over(w)
             denom = n * stt - st * st
             out.append(F.when(denom != 0, (n * sty - st * sy) / denom))
         return out

@@ -10,16 +10,25 @@ distributed, restartable protocol:
 - work is split into ``n_units`` deterministic **entity-hash units**
   (``pmod(xxhash64(url), n_units)``) — every unit holds the COMPLETE
   history of its urls, so windows/as-of computed per unit are exact;
-- each completed unit appends its feature rows to the output table
-  (parquet locally; the layout is Iceberg-append-shaped) and ONE
-  lineage row ``(feature_set, input_snapshot, unit, row_count, digest,
-  completed_at_job)``;
+- all pending units are written in ONE job (a partitioned write by
+  ``unit`` — the source is scanned once per backfill, never once per
+  unit) with **dynamic partition overwrite**, so a recompute of a unit
+  replaces its directory instead of appending a duplicate copy
+  (idempotent, crash-safe: a failure before the job commit leaves no
+  partial unit, a failure between the write commit and the lineage
+  append merely recomputes-and-overwrites those units on restart);
+- per-unit row counts and digests are collected from the SAME job via
+  ``observe()`` aggregates on the DataFrame being written — no re-read
+  of the output for stats;
+- each completed unit gets ONE lineage row ``(feature_set,
+  input_snapshot, unit, row_count, digest, completed_at_job)``;
 - on restart, units already present in the lineage table for the same
   ``(feature_set, input_snapshot)`` are skipped (anti-join of pending
   units against lineage);
-- the digest is an order-insensitive 64-bit checksum (sum of
-  ``xxhash64`` over all output columns), so two materializations of
-  the same unit can be compared cheaply.
+- the digest is an order-insensitive checksum: SUM (not XOR — XOR of a
+  duplicated row self-cancels) of ``xxhash64`` over all output columns,
+  accumulated in decimal(38,0) so 10^12-row sums can't overflow, then
+  folded to 63 bits.
 
 Deterministic unit assignment (hash of the entity key, never
 ``rand()``) is what makes resume produce identical partitions
@@ -74,11 +83,27 @@ def completed_units(
     return {r["unit"] for r in rows}
 
 
+def row_hash(cols: Sequence[str]) -> F.Column:
+    """Per-row content hash as decimal(38,0) so a SUM over 10^12 rows
+    stays exact (|xxhash64| < 2^63 ⇒ |sum| < 9.3e30 ≪ 1e38). Sum-based
+    (not XOR) so a duplicated unit write CHANGES the digest instead of
+    self-cancelling."""
+    return F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+
+
+def fold_digest(v) -> int:
+    """Fold the decimal sum to a stable non-negative 63-bit digest."""
+    if v is None:
+        return 0
+    return int(v) % (1 << 63)
+
+
 def row_digest(df: DataFrame) -> F.Column:
-    """Order-insensitive content digest: XOR over rows of xxhash64 of
-    all columns (nulls canonicalized by xxhash64 itself; XOR is
-    commutative and can't overflow under ANSI arithmetic)."""
-    return F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).cast("long")
+    """Order-insensitive content digest aggregate over a whole frame
+    (kept for ad-hoc comparisons; materialize() uses the per-unit
+    observe() path)."""
+    two63 = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
+    return F.pmod(F.sum(row_hash(df.columns)), two63).cast("long")
 
 
 def materialize(
@@ -93,14 +118,21 @@ def materialize(
     n_units: int = 8,
     fail_after_units: int | None = None,
     y: str | None = None,
+    units_per_batch: int | None = None,
 ) -> dict:
     """Materialize the feature matrix in resumable units.
 
     ``fail_after_units`` injects a crash after N units (for resume
-    tests). Returns a summary dict. Fit runs ONCE over the full train
-    slice (the source as-of snapshot); only the transform is unitized,
-    so fitted params are identical regardless of unit schedule.
+    tests) and forces unit-granular batches so exactly N units commit.
+    Normally ALL pending units run as one batch = one job = ONE scan of
+    the source per backfill; ``units_per_batch`` trades scan count for
+    finer checkpoint granularity. Returns a summary dict. Fit runs ONCE
+    over the full train slice (the source as-of snapshot); only the
+    transform is unitized, so fitted params are identical regardless of
+    unit schedule.
     """
+    from pyspark.sql import Observation
+
     from ballet_spark.core import FeatureEngineeringPipeline
 
     fset = feature_set_id(features)
@@ -112,33 +144,52 @@ def materialize(
     )
     fitted = pipe.fit(source, y=y)
 
-    tagged = source.withColumn("__unit", _unit_expr(entity_col, n_units))
+    if fail_after_units is not None:
+        step = 1
+    else:
+        step = units_per_batch or max(len(pending), 1)
+    batches = [pending[i : i + step] for i in range(0, len(pending), step)]
+
     n_done = 0
-    for unit in pending:
+    for batch in batches:
         if fail_after_units is not None and n_done >= fail_after_units:
             raise RuntimeError(f"injected failure after {n_done} units")
-        part = tagged.filter(F.col("__unit") == unit).drop("__unit")
-        matrix = fitted.transform(part)
-        matrix.write.mode("append").parquet(f"{out_path}/unit={unit}")
-        stats = spark.read.parquet(f"{out_path}/unit={unit}")
-        row = stats.agg(
-            F.count(F.lit(1)).alias("n"), row_digest(stats).alias("d")
-        ).first()
-        lineage_row = spark.createDataFrame(
-            [
-                (
-                    fset,
-                    input_snapshot,
-                    unit,
-                    int(row["n"]),
-                    int(row["d"]) if row["d"] is not None else 0,
-                    float(time.time()),
-                )
-            ],
-            LINEAGE_SCHEMA,
+        unit_col = _unit_expr(entity_col, n_units)
+        part = source.filter(unit_col.isin(batch))
+        # transform sees the source schema; the unit tag is re-derived
+        # from the entity key on the OUTPUT (deterministic hash, so the
+        # partition layout is identical across runs/batchings)
+        matrix = fitted.transform(part).withColumn(
+            "unit", _unit_expr(entity_col, n_units)
         )
-        lineage_row.write.mode("append").parquet(lineage_path)
-        n_done += 1
+        feat_cols = [c for c in matrix.columns if c != "unit"]
+        obs = Observation()
+        exprs = []
+        for u in batch:
+            hit = F.col("unit") == u
+            exprs.append(F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{u}"))
+            exprs.append(F.sum(F.when(hit, row_hash(feat_cols))).alias(f"d_{u}"))
+        observed = matrix.observe(obs, *exprs)
+        # dynamic partition overwrite: recomputing a unit REPLACES its
+        # directory (idempotent) — a crash between this commit and the
+        # lineage append cannot leave a duplicated unit on restart
+        (
+            observed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("unit")
+            .parquet(out_path)
+        )
+        metrics = obs.get
+        now = float(time.time())
+        lineage_rows = [
+            (fset, input_snapshot, u, int(metrics[f"n_{u}"]),
+             fold_digest(metrics[f"d_{u}"]), now)
+            for u in batch
+        ]
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(lineage_path)
+        n_done += len(batch)
 
     return {
         "feature_set": fset,
@@ -151,8 +202,10 @@ def materialize(
 
 
 def read_matrix(spark: SparkSession, out_path: str) -> DataFrame:
-    """Read the materialized matrix across all units."""
-    return spark.read.option("basePath", out_path).parquet(f"{out_path}/unit=*")
+    """Read the materialized matrix across all units (standard
+    ``unit=<u>`` partitioned layout; partition pruning on ``unit`` is
+    free for per-unit audits)."""
+    return spark.read.parquet(out_path)
 
 
 def lineage_metrics(spark: SparkSession, lineage_path: str) -> DataFrame:

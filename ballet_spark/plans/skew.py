@@ -69,7 +69,10 @@ def asof_join_skew(
     if not head:
         return asof_join(left, right, on, left_ts, right_ts, value_cols)
 
-    is_head = F.col(on).isin(list(head))
+    # NULL-safe: isin() yields NULL for NULL keys, which both branch
+    # filters would reject — route NULL-keyed rows to the tail path so
+    # the split equals the plain as-of join exactly.
+    is_head = F.coalesce(F.col(on).isin(list(head)), F.lit(False))
     tail_out = asof_join(
         left.filter(~is_head), right.filter(~is_head),
         on, left_ts, right_ts, value_cols,
