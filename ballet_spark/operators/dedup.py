@@ -22,7 +22,7 @@ Scale design notes:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # 2^31-1: affine permutations a*h+b stay < 2^62, no int64 overflow
@@ -78,13 +78,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 gram.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     ``max_df`` drops grams present in more than that many documents
-    before the self-join (doc-frequency pruning for scale).
+    before the self-join — MANDATORY doc-frequency pruning at scale
+    (default 1000): a single stopword gram shared by d documents makes
+    the self-join emit d² rows, so without the cap the hot-gram join is
+    quadratic in the hottest gram's frequency. Pass ``max_df=None``
+    only for exact small-corpus audits. Shared-gram counts use pruned
+    grams; denominators (|A|, |B|) stay full, so the score is a lower
+    bound of true Jaccard for pairs whose shared hot grams were pruned.
     """
     docs = _spread(df).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
@@ -93,10 +99,16 @@ def ngram_jaccard_pairs(
 
     exploded = docs.select("id", F.explode("grams").alias("gram"))
     if max_df is not None:
-        w = Window.partitionBy("gram")
-        exploded = exploded.withColumn("df", F.count(F.lit(1)).over(w)).filter(
-            F.col("df") <= max_df
-        ).drop("df")
+        # hot grams are ≤ |rows|/max_df by pigeonhole — a small table —
+        # so a broadcast anti-join beats a window over every exploded
+        # row (no sort, no full-data exchange on the gram key)
+        hot = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("gram")
+        )
+        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -121,6 +133,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_coefs(num_hashes: int, seed: int):
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def _sig_udf(num_hashes: int, seed: int):
+    """Arrow-batched numpy MinHash kernel over per-doc gram-hash arrays:
+    one (g × k) modular affine + min per doc — no explode, no k-way
+    aggregation shuffle; each doc's signature is computed where the doc
+    lives. a,h < 2^31 ⇒ a*h+b < 2^62, exact in int64."""
+    import numpy as np
+
+    coefs = _minhash_coefs(num_hashes, seed)
+    A = np.array([a for a, _ in coefs], dtype=np.int64)
+    B = np.array([b for _, b in coefs], dtype=np.int64)
+
+    def _kernel(hs: pd.Series) -> pd.Series:
+        def _one(a):
+            h = np.asarray(a, dtype=np.int64)
+            return ((h[:, None] * A[None, :] + B[None, :]) % MERSENNE_P).min(axis=0)
+
+        return hs.map(_one)
+
+    return F.pandas_udf(_kernel, "array<long>")
+
+
+def gram_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, hs) with ``hs`` = xxhash64 of each distinct word shingle,
+    folded into the Mersenne field. ONE tokenization pass — reused by
+    signature generation AND candidate verification (Jaccard on the
+    distinct-hash arrays equals gram Jaccard up to 2^-64 collisions)."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_ngrams(F.col(text_col), shingle_n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .select(
+            "id",
+            F.transform(
+                "grams", lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
+            ).alias("hs"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -129,33 +198,11 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: one xxhash64 per distinct word
-    shingle, then ``num_hashes`` seeded affine permutations
-    ``(a_i*h + b_i) mod p`` minimized per doc — all JVM expressions,
-    one explode + one aggregation."""
-    import random
-
-    rnd = random.Random(seed)
-    coefs = [
-        (rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P))
-        for _ in range(num_hashes)
-    ]
-    shingled = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("gram"),
-    ).select(
-        "id", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE_P)).alias("h")
-    )
-    mins = [
-        F.min(
-            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(coefs)
-    ]
-    sig = shingled.groupBy("id").agg(*mins)
-    return sig.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    """MinHash signature per document (same affine-permutation math as
+    the round-1 explode+agg formulation — identical signatures — but
+    computed by the vectorized numpy kernel with zero shuffle)."""
+    hs = gram_hashes(df, id_col, text_col, shingle_n)
+    return hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -179,7 +226,12 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # ONE tokenization pass: the persisted (id, gram-hash array) frame
+    # feeds both signature generation and candidate verification, so
+    # the regex split + shingle build runs once instead of three times
+    hs = gram_hashes(df, id_col, text_col, shingle_n).persist()
+    hs.count()
+    sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
     banded = sig.select(
         "id",
         F.explode(
@@ -222,26 +274,22 @@ def minhash_lsh_pairs(
     if not verify_exact:
         return cand
 
-    # Verify ONLY the candidate pairs: join their gram sets and compute
-    # exact Jaccard via array_intersect — O(|candidates|·|grams|), never
-    # the all-pairs gram self-join.
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), shingle_n).alias("grams"),
-    )
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    # Verify ONLY the candidate pairs, from the PERSISTED gram-hash
+    # arrays (int64 intersection — no re-tokenization, and hash arrays
+    # ship ~6× fewer bytes than the gram strings):
+    # O(|candidates|·|grams|), never the all-pairs gram self-join.
+    ha = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
+    hb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
     verified = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("ga", "gb")).cast("double")
-                / (
-                    F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))
-                ).cast("double")
+                inter.cast("double")
+                / (F.size("ha") + F.size("hb") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -251,23 +299,37 @@ def minhash_lsh_pairs(
 
 def simhash_pdf(text: pd.Series, bits: int = 64) -> pd.Series:
     """64-bit SimHash over whitespace tokens (pandas kernel, shared with
-    the oracle). Deterministic via blake2b token hashes."""
+    the pytest oracle). Token hash = first 8 bytes of md5 (big-endian) —
+    reproducible in DuckDB as ``('0x' || substr(md5(tok),1,16))::UBIGINT``
+    so the driver's SQL oracle can check this end-to-end. The bit-vote
+    loop is one numpy matrix op per doc (bit j set ⇔ more than half the
+    tokens have bit j set), with an md5 memo per Arrow batch so repeated
+    tokens hash once."""
     import hashlib
+
+    import numpy as np
+
+    shifts = np.arange(bits, dtype=np.uint64)
+    cache: dict[str, int] = {}
+
+    def _hash(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            cache[tok] = h
+        return h
 
     def _one(t):
         if t is None:
             return None
-        votes = [0] * bits
-        for tok in t.split():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            for j in range(bits):
-                votes[j] += 1 if (h >> j) & 1 else -1
-        v = 0
-        for j in range(bits):
-            if votes[j] > 0:
-                v |= 1 << j
+        toks = t.split()
+        if not toks:
+            return 0
+        h = np.array([_hash(tok) for tok in toks], dtype=np.uint64)
+        ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        # votes[j] = 2*ones[j] - n > 0  ⇔  2*ones[j] > n (ties ⇒ bit 0)
+        set_bits = (2 * ones > len(toks)).astype(np.uint64)
+        v = int((set_bits << shifts).sum())
         # to signed int64
         return v - (1 << 64) if v >= (1 << 63) else v
 
@@ -338,15 +400,62 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force; for scale,
-    pre-bucket with :func:`ballet_spark.operators.similarity.lsh_bucket`)."""
-    from ballet_spark.operators.similarity import cosine_expr
+    """Embedding-cosine near-duplicate pairs.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    DEFAULT PATH (the 100 TB shape): band-OR SRP LSH — each vector is
+    bucketed in ``n_tables`` independent 2^n_planes-bucket tables;
+    candidate pairs share a bucket in ANY table (equi-key self-join,
+    linear shuffles), then candidates are exact-cosine verified. Miss
+    probability for a pair at angle θ is (1-(1-θ/π)^b)^L — ≈8e-5 per
+    pair at cosine 0.95 with b=8, L=16; tests assert recall ≥ 0.95 on
+    planted near-duplicates. ``exact=True`` is the all-pairs escape
+    hatch for small-corpus audits ONLY (quadratic join — never the
+    default)."""
+    from ballet_spark.operators.similarity import cosine_expr, lsh_bucket_tables
+
+    a_ids = F.col("id_a")
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucketed = lsh_bucket_tables(
+        base, "v", dim, n_planes, n_tables, seed
+    ).select("id", "tbl", "bucket")
+    # eager persist: both self-join sides reuse the 128 plane projections
+    bucketed = bucketed.persist()
+    bucketed.count()
+    bb_a, bb_b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        bb_a.join(
+            bb_b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            a_ids, "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )

@@ -9,6 +9,7 @@ buckets only, then exact re-rank). All arithmetic is JVM-side
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,6 +107,71 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def srp_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> "np.ndarray":
+    """Seeded hyperplanes for ``n_tables`` independent SRP tables,
+    rounded to 6 decimals so the EXACT same constants can be embedded
+    in a SQL oracle (decimal literals parse to identical doubles in
+    Spark and DuckDB). Shape (n_tables, n_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_tables, n_planes, dim)), 6)
+
+
+def bucket_expr(vec_col: str, planes) -> Column:
+    """SRP bucket id of one table: sign bits of the plane projections.
+    Pure JVM fold — no Python in the scoring path."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_udf(planes):
+    """All L·b plane projections in ONE numpy float64 matmul per Arrow
+    batch → array of L bucket ids per row. The interpreted per-element
+    Column fold costs ~100× more than BLAS here (L·b·dim lambda steps
+    per row); sign flips vs a sequential-sum engine require |dot| ≲
+    1e-13 of zero against typical |dot| ≈ √dim — negligible."""
+    P = np.asarray(planes, dtype=np.float64)  # (L, b, dim)
+    L, b, dim = P.shape
+    flat = P.reshape(L * b, dim)
+    weights = (1 << np.arange(b)).astype(np.int64)
+
+    def _kernel(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (M @ flat.T > 0).astype(np.int64).reshape(len(M), L, b)
+        buckets = bits @ weights  # (n, L)
+        return pd.Series(list(buckets))
+
+    return F.pandas_udf(_kernel, "array<long>")
+
+
+def lsh_bucket_tables(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+    planes=None,
+) -> DataFrame:
+    """Band-OR amplified SRP bucketing: each row explodes into
+    ``n_tables`` (tbl, bucket) pairs from independent hyperplane sets.
+    A pair of vectors is a candidate iff it shares a bucket in ANY
+    table — miss probability (1 - p^b)^L with p = 1 - θ/π, so recall is
+    tunable without growing any single bucket. At larger corpora raise
+    ``n_planes`` (≈ log2(n / target_bucket_size)) to keep buckets
+    bounded; candidates stay linear in corpus size."""
+    if planes is None:
+        planes = srp_planes(dim, n_planes, n_tables, seed)
+    bucketed = df.withColumn("__bks", _bucket_udf(planes)(F.col(vec_col)))
+    return bucketed.select(
+        *df.columns, F.posexplode("__bks").alias("tbl", "bucket")
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -134,24 +200,59 @@ def cosine_topk_lsh(
     query_id_col: str = "vec_id",
     dim: int = 64,
     n_planes: int = 6,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine re-rank. Trades recall for a
-    1/2^n_planes-sized candidate set — the 100 TB path."""
-    cb = lsh_bucket(
+    """Approximate top-k with band-OR multi-probe: candidates = corpus
+    vectors sharing the query's bucket in ANY of ``n_tables``
+    independent SRP tables, then exact cosine re-rank. Per-table bucket
+    size is |corpus|/2^n_planes; recall amplifies as 1-(1-p^b)^L while
+    candidates stay linear — the 100 TB path (tests assert recall@k ≥
+    0.95 vs the exact :func:`cosine_topk` on the fixture)."""
+    planes = srp_planes(dim, n_planes, n_tables, seed)
+    cb = lsh_bucket_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "cv", dim, n_planes, seed,
+        "cv", dim, n_planes, n_tables, seed, planes=planes,
+    ).select("neighbor_id", "tbl", "bucket")
+    qb = lsh_bucket_tables(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", dim, n_planes, n_tables, seed, planes=planes,
+    ).select("query_id", "tbl", "bucket")
+    # distinct candidate ids FIRST (a pair found by several tables is
+    # scored once), then join vectors back: one linear shuffle on the
+    # pair ids, cosine computed exactly once per candidate
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (cb["tbl"] == qb["tbl"])
+            & (cb["bucket"] == qb["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    qb = lsh_bucket(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", dim, n_planes, seed,
-    )
-    scored = cb.join(
-        F.broadcast(qb),
-        (cb["bucket"] == qb["bucket"]) & (F.col("query_id") != F.col("neighbor_id")),
-    ).select(
-        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
