@@ -860,6 +860,88 @@ def boxcox_value(spark, sf_dir):
     )
 
 
+def _contrast_query(scheme: str, alias: str):
+    """Contrast coding of lang (k=5 ⇒ 4 contrast columns) — fit
+    collects the sorted category list, transform is a pure Project
+    (when-chain × contrast matrix, no join). The oracle embeds the
+    SAME matrix via ballet_spark.operators.encoders.contrast_matrix."""
+
+    def q(spark, sf_dir):
+        from ballet_spark.core import Feature, FeatureEngineeringPipeline
+        from ballet_spark.operators.encoders import ContrastEncoder
+
+        docs = _t(spark, sf_dir, "documents")
+        pipe = FeatureEngineeringPipeline(
+            [Feature("lang", ContrastEncoder(scheme), output=alias)],
+            entity_col="doc_id", time_col="doc_id",
+        )
+        out = pipe.fit(docs).transform(docs)
+        enc_cols = [c for c in out.columns if c.startswith(alias)]
+        return out.select(
+            "doc_id", *[F.round(c, 4).alias(c) for c in enc_cols]
+        )
+
+    return q
+
+
+helmert_encode_lang = _contrast_query("helmert", "hel")
+sum_encode_lang = _contrast_query("sum", "sc")
+backward_diff_encode_lang = _contrast_query("backward_difference", "bd")
+poly_encode_lang = _contrast_query("polynomial", "pc")
+
+
+def horizon_targets(spark, sf_dir):
+    """Multi-step-ahead label building (skits HorizonTransformer):
+    leads 1..3 of value per user — explicitly whitelisted through the
+    leakage guard with allow_future=True (pytest asserts the same
+    pipeline WITHOUT the whitelist is rejected)."""
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+    from ballet_spark.operators.window_ops import Horizon
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", Horizon(3, allow_future=True), output="h")],
+        entity_col="user_id", time_col="ts",
+    )
+    out = pipe.fit(ev).transform(ev)
+    ev_keys = ev.select("user_id", "ts", "event_id")
+    return out.join(ev_keys, ["user_id", "ts"]).select(
+        "event_id",
+        F.round("h_0", 4).alias("h_0"),
+        F.round("h_1", 4).alias("h_1"),
+        F.round("h_2", 4).alias("h_2"),
+    )
+
+
+def knn_impute_value(spark, sf_dir):
+    """Approximate KNN imputation (bucketed by event_type): every 20th
+    event's (integer-rounded) value is masked, then imputed as the mean
+    of its 5 nearest donors by squared-euclidean distance over
+    (epoch seconds, user_id), ties broken on event_id — deterministic,
+    so the oracle replays the exact same neighbor selection in SQL.
+    Integer-valued donors keep the mean order-independent in float64."""
+    from ballet_spark.core import PipelineContext
+    from ballet_spark.operators.fitted import KNNImputer
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("double").alias("uid"),
+        "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        F.when(F.col("event_id") % 20 == 0, None)
+        .otherwise(F.round("value", 0))
+        .alias("v"),
+    )
+    imp = KNNImputer(
+        n_neighbors=5, feature_cols=["t", "uid"], by="event_type",
+        id_col="event_id",
+    )
+    ctx = PipelineContext(entity_col="event_type", time_col="t", point_in_time=False)
+    imp.fit(ev, ["v"], ctx)
+    out, _ = imp.transform_df(ev, ["v"], "v_imp", ctx)
+    return out.select("event_id", F.round("v_imp", 4).alias("v_imp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -907,6 +989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_target_encode": ordered_target_encode,
         "cube_orders": cube_orders,
         "boxcox_value": boxcox_value,
+        "helmert_encode_lang": helmert_encode_lang,
+        "sum_encode_lang": sum_encode_lang,
+        "backward_diff_encode_lang": backward_diff_encode_lang,
+        "poly_encode_lang": poly_encode_lang,
+        "horizon_targets": horizon_targets,
+        "knn_impute_value": knn_impute_value,
     }
 
 
@@ -1446,5 +1534,62 @@ def _generated_oracles() -> dict[str, str]:
                      (({terms}) % {m}::HUGEINT)::BIGINT AS hw
               FROM pos)
         SELECT doc_id, min(hw) AS fp FROM h GROUP BY doc_id
+    """
+
+    # --- contrast coders: the matrix values come from the SAME
+    # contrast_matrix() the Spark operator compiles, for k = 5 langs ---
+    from ballet_spark.operators.encoders import contrast_matrix
+
+    for name, scheme, alias in [
+        ("helmert_encode_lang", "helmert", "hel"),
+        ("sum_encode_lang", "sum", "sc"),
+        ("backward_diff_encode_lang", "backward_difference", "bd"),
+        ("poly_encode_lang", "polynomial", "pc"),
+    ]:
+        cm = contrast_matrix(scheme, 5)
+        cols = ", ".join(
+            "round(CASE i "
+            + " ".join(f"WHEN {i} THEN {float(cm[i][j])!r}" for i in range(5))
+            + f" ELSE 0.0 END, 4) AS {alias}_{j}"
+            for j in range(4)
+        )
+        out[name] = f"""
+            WITH idx AS (SELECT doc_id,
+                                dense_rank() OVER (ORDER BY lang) - 1 AS i
+                         FROM documents)
+            SELECT doc_id, {cols} FROM idx
+        """
+
+    out["horizon_targets"] = """
+        SELECT event_id,
+               round(lead(value, 1) OVER w, 4) AS h_0,
+               round(lead(value, 2) OVER w, 4) AS h_1,
+               round(lead(value, 3) OVER w, 4) AS h_2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+    out["knn_impute_value"] = """
+        WITH base AS (
+            SELECT event_id, user_id::DOUBLE AS uid, event_type,
+                   epoch(ts) AS t,
+                   CASE WHEN event_id % 20 = 0 THEN NULL
+                        ELSE round(value, 0) END AS v
+            FROM events),
+        nn AS (
+            SELECT m.event_id, d.v,
+                   row_number() OVER (
+                       PARTITION BY m.event_id
+                       ORDER BY (m.t - d.t) * (m.t - d.t)
+                              + (m.uid - d.uid) * (m.uid - d.uid),
+                                d.event_id) AS rn
+            FROM (SELECT * FROM base WHERE v IS NULL) m
+            JOIN (SELECT * FROM base WHERE v IS NOT NULL) d
+              ON m.event_type = d.event_type),
+        imp AS (SELECT event_id, sum(v) / count(v) AS vi
+                FROM nn WHERE rn <= 5 GROUP BY event_id)
+        SELECT b.event_id,
+               round(coalesce(b.v, imp.vi), 4) AS v_imp
+        FROM base b LEFT JOIN imp ON imp.event_id = b.event_id
     """
     return out

@@ -460,6 +460,108 @@ class BinaryEncoder(BaseNEncoder):
         super().__init__(base=2, max_categories=max_categories)
 
 
+def contrast_matrix(scheme: str, k: int) -> list[list[float]]:
+    """Contrast matrix (k levels × k-1 columns) for the classic coding
+    schemes the reference re-exports from category_encoders
+    (/root/reference/ballet/eng/external/category_encoders.py:3-46,
+    statsmodels contrast semantics):
+
+    - ``helmert``: column j compares level j+1 against the mean of
+      levels 0..j (statsmodels Helmert.code_without_intercept);
+    - ``sum``: indicator for levels 0..k-2, last level = all -1;
+    - ``backward_difference``: M[i][j] = -(k-1-j)/k if i<=j else (j+1)/k;
+    - ``polynomial``: orthonormal polynomial trends (R contr.poly): QR
+      of the centered Vandermonde, intercept column dropped, R-diagonal
+      signs fixed so the linear term increases.
+    """
+    import numpy as np
+
+    if k < 2:
+        raise ValueError("contrast coding needs >= 2 categories")
+    if scheme == "helmert":
+        m = [
+            [
+                float(j + 1) if i == j + 1 else (-1.0 if i <= j else 0.0)
+                for j in range(k - 1)
+            ]
+            for i in range(k)
+        ]
+    elif scheme == "sum":
+        m = [
+            [
+                -1.0 if i == k - 1 else (1.0 if i == j else 0.0)
+                for j in range(k - 1)
+            ]
+            for i in range(k)
+        ]
+    elif scheme == "backward_difference":
+        m = [
+            [
+                -(k - 1 - j) / k if i <= j else (j + 1) / k
+                for j in range(k - 1)
+            ]
+            for i in range(k)
+        ]
+    elif scheme == "polynomial":
+        x = np.arange(1, k + 1, dtype=float)
+        x = x - x.mean()
+        v = np.vander(x, k, increasing=True)
+        q, r = np.linalg.qr(v)
+        q = q * np.sign(np.diag(r))
+        m = q[:, 1:].tolist()
+    else:
+        raise ValueError(f"unknown contrast scheme: {scheme}")
+    return m
+
+
+class ContrastEncoder(SparkTransformer):
+    """Helmert / Sum / Polynomial / BackwardDifference contrast coding —
+    the last fit/transform family from the reference's endorsed
+    category_encoders surface. Fit collects the sorted train category
+    list (driver-side, guarded — contrast coding is only sensible at
+    small k); transform compiles to a when-chain ordinal index × the
+    contrast matrix as plain expressions: NO join, no shuffle, the
+    10^12-row side streams through a single Project. Unseen/NULL
+    categories encode to 0.0 in every contrast column."""
+
+    def __init__(self, scheme: str = "helmert", max_categories: int = 200):
+        contrast_matrix(scheme, 2)  # validate scheme eagerly
+        self.scheme = scheme
+        self.max_categories = max_categories
+
+    def fit(self, df, cols, ctx, y=None):
+        self._cols = cols
+        self.categories_ = {}
+        self.matrices_ = {}
+        for c in cols:
+            cats = [
+                r[0]
+                for r in df.select(c).distinct().orderBy(c).limit(
+                    self.max_categories + 1
+                ).collect()
+                if r[0] is not None
+            ]
+            if len(cats) > self.max_categories:
+                raise ValueError(
+                    f"column {c} has >{self.max_categories} categories; "
+                    f"contrast coding is not meaningful at that cardinality"
+                )
+            self.categories_[c] = cats
+            self.matrices_[c] = contrast_matrix(self.scheme, len(cats))
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        out = []
+        for e, c in zip(in_exprs, self._cols):
+            cats, m = self.categories_[c], self.matrices_[c]
+            for j in range(len(cats) - 1):
+                expr = F.lit(0.0)
+                for i, cat in enumerate(cats):
+                    expr = F.when(e == F.lit(cat), F.lit(float(m[i][j]))).otherwise(expr)
+                out.append(expr)
+        return out
+
+
 class OrderedTargetEncoder(SparkTransformer):
     """CatBoost-style ORDERED target encoding, point-in-time native:
     each row is encoded with the running target statistics of its

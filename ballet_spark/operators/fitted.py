@@ -432,17 +432,84 @@ class GroupedApply(SparkTransformer):
 
 
 class KNNImputer(SparkTransformer):
-    """Flagged-hard in SURVEY.md §2.3: exact KNN imputation requires an
-    all-pairs neighbor search that does not decompose into Catalyst
-    primitives. Deliberately unimplemented — use
-    :class:`Groupwise`(:class:`SimpleImputer`) for the distributed
-    analog, or an approximate per-partition variant in a later round."""
+    """APPROXIMATE distributed KNN imputation (sklearn KNNImputer
+    analog, /root/reference/ballet/eng/external/sklearn.py:1 re-export;
+    exact KNN needs an all-pairs search that doesn't decompose into
+    Catalyst primitives — SURVEY.md §2.3).
 
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "KNNImputer is not distributable exactly; use "
-            "Groupwise(SimpleImputer(...)) or LSH-bucketed neighbors"
-        )
+    Approximation contract: neighbors are restricted to rows sharing
+    the ``by`` bucket (a category, or a hash bucket of the entity key);
+    within each bucket an EXACT k-nearest-donor mean imputation runs in
+    one Arrow-batched ``applyInPandas`` kernel. Neighbors never cross
+    buckets — that is the entire approximation, and it is what makes
+    the operator linear: one shuffle on ``by``, numpy block-matrix
+    distances inside. At scale, pick ``by`` with enough cardinality to
+    bound bucket size (or a composite/hash bucket).
+
+    Distances are squared-euclidean over ``feature_cols`` (must be
+    non-null); ties break on (distance, ``id_col``), so results are
+    deterministic and replayable by a SQL oracle. Missing targets with
+    zero donors in their bucket stay NULL.
+    """
+
+    def __init__(
+        self,
+        n_neighbors: int = 5,
+        feature_cols: list[str] | None = None,
+        by: str | None = None,
+        id_col: str | None = None,
+    ):
+        self.n_neighbors = n_neighbors
+        self.feature_cols = feature_cols
+        self.by = by
+        self.id_col = id_col
+
+    def fit(self, df: DataFrame, cols: list[str], ctx, y=None):
+        if not self.feature_cols:
+            raise ValueError("KNNImputer requires feature_cols (non-null coordinates)")
+        self._cols = cols
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        return None
+
+    def transform_df(self, df, cols, alias, ctx):
+        import numpy as np
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        if len(cols) != 1:
+            raise ValueError("KNNImputer imputes one target column at a time")
+        target = cols[0]
+        by = self.by or ctx.entity_col
+        idc = self.id_col or by
+        feats = list(self.feature_cols)
+        k = self.n_neighbors
+        schema = StructType(list(df.schema.fields) + [StructField(alias, DoubleType())])
+
+        def _kern(pdf):
+            X = pdf[feats].to_numpy(dtype=float)
+            v = pdf[target].to_numpy(dtype=float)
+            ids = pdf[idc].to_numpy()
+            out = v.copy()
+            miss = np.isnan(v)
+            don = ~miss
+            if miss.any() and don.any():
+                D, dv, dids = X[don], v[don], ids[don]
+                kk = min(k, int(don.sum()))
+                # block the missing rows so the distance matrix stays
+                # ~256×|donors| regardless of bucket size
+                midx = np.flatnonzero(miss)
+                for chunk in np.array_split(midx, max(1, len(midx) // 256)):
+                    diff = X[chunk][:, None, :] - D[None, :, :]
+                    d2 = (diff * diff).sum(axis=2)
+                    for r, mi in enumerate(chunk):
+                        order = np.lexsort((dids, d2[r]))[:kk]
+                        out[mi] = dv[order].sum() / kk
+            res = pdf.copy()
+            res[alias] = out
+            return res
+
+        return df.groupBy(by).applyInPandas(_kern, schema), [alias]
 
 
 class IterativeImputer(SparkTransformer):

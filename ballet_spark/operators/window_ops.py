@@ -177,6 +177,31 @@ class Delta(SparkTransformer):
         return [e - F.lag(e, self.k).over(w) for e in in_exprs]
 
 
+class Horizon(SparkTransformer):
+    """Multi-step-ahead target builder: columns [y(t+1) .. y(t+horizon)]
+    per entity (skits HorizonTransformer,
+    /root/reference/ballet/eng/external/skits.py:30-31). This is a
+    LABEL BUILDER — it reads the future by definition — so under
+    point-in-time mode it must be explicitly whitelisted with
+    ``allow_future=True``; without it the leakage guard rejects the
+    pipeline at compile time (features can never sneak future reads in
+    through this path). All ``horizon`` leads share ONE WindowSpec."""
+
+    def __init__(self, horizon: int, allow_future: bool = False):
+        if horizon < 1:
+            raise ValueError("horizon must be >= 1")
+        self.horizon = horizon
+        self.allow_future = allow_future
+
+    def transform_exprs(self, in_exprs, ctx):
+        if not self.allow_future:
+            ctx.check_frame(self.horizon, what=f"Horizon({self.horizon})")
+        w = entity_window(ctx)
+        return [
+            F.lead(e, k).over(w) for e in in_exprs for k in range(1, self.horizon + 1)
+        ]
+
+
 class SnapshotIndex(SparkTransformer):
     """0-based index of this snapshot within its entity's history
     (skits TrendTransformer's time index, ballet/eng/external/skits.py:24)."""

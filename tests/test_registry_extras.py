@@ -72,7 +72,9 @@ def test_seasonal_and_fourier_and_trend(spark, webtext_df, webtext_pdf):
 
 
 def test_hard_imputers_raise_clearly():
-    with pytest.raises(NotImplementedError, match="Groupwise"):
-        KNNImputer()
+    # KNNImputer is now implemented (approximate, bucketed) but still
+    # refuses to fit without explicit coordinate columns
+    with pytest.raises(ValueError, match="feature_cols"):
+        KNNImputer().fit(None, ["v"], None)
     with pytest.raises(NotImplementedError, match="out of scope"):
         IterativeImputer()

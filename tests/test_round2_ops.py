@@ -1,0 +1,151 @@
+"""Round-2 operators: contrast coders (category_encoders semantics),
+Horizon label builder (leakage-guard whitelist), approximate KNNImputer
+(bucketed neighbor contract)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballet_spark.core import (
+    Feature,
+    FeatureEngineeringPipeline,
+    LeakageError,
+    PipelineContext,
+)
+from ballet_spark.operators.encoders import ContrastEncoder, contrast_matrix
+from ballet_spark.operators.fitted import KNNImputer
+from ballet_spark.operators.window_ops import Horizon
+
+
+# ---- contrast matrices vs published statsmodels/R values -------------
+
+
+def test_helmert_matrix_k4():
+    assert contrast_matrix("helmert", 4) == [
+        [-1.0, -1.0, -1.0],
+        [1.0, -1.0, -1.0],
+        [0.0, 2.0, -1.0],
+        [0.0, 0.0, 3.0],
+    ]
+
+
+def test_sum_matrix_k3():
+    assert contrast_matrix("sum", 3) == [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]]
+
+
+def test_backward_difference_matrix_k4():
+    got = np.array(contrast_matrix("backward_difference", 4))
+    exp = np.array(
+        [
+            [-0.75, -0.5, -0.25],
+            [0.25, -0.5, -0.25],
+            [0.25, 0.5, -0.25],
+            [0.25, 0.5, 0.75],
+        ]
+    )
+    assert np.allclose(got, exp)
+
+
+def test_polynomial_matrix_k3_matches_r_contr_poly():
+    got = np.array(contrast_matrix("polynomial", 3))
+    exp = np.array(
+        [
+            [-0.7071067811865476, 0.4082482904638631],
+            [0.0, -0.8164965809277261],
+            [0.7071067811865476, 0.4082482904638631],
+        ]
+    )
+    assert np.allclose(got, exp)
+    # orthonormal columns
+    assert np.allclose(got.T @ got, np.eye(2))
+
+
+def test_contrast_encoder_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "b"), (5, None)],
+        "id long, cat string",
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("cat", ContrastEncoder("helmert"), output="h")],
+        entity_col="id", time_col="id",
+    )
+    out = pipe.fit(df).transform(df).orderBy("id").toPandas()
+    m = contrast_matrix("helmert", 3)
+    assert out.loc[0, ["h_0", "h_1"]].tolist() == m[0]  # 'a' -> level 0
+    assert out.loc[1, ["h_0", "h_1"]].tolist() == m[1]
+    assert out.loc[2, ["h_0", "h_1"]].tolist() == m[2]
+    assert out.loc[4, ["h_0", "h_1"]].tolist() == [0.0, 0.0]  # NULL -> zeros
+
+
+def test_contrast_unknown_scheme_rejected():
+    with pytest.raises(ValueError, match="unknown contrast scheme"):
+        ContrastEncoder("quadratic-ish")
+
+
+# ---- Horizon: label builder must be whitelisted -----------------------
+
+
+def test_horizon_rejected_without_whitelist(spark, webtext_df):
+    df = webtext_df.withColumn("y", F.length("text").cast("double"))
+    pipe = FeatureEngineeringPipeline([Feature("y", Horizon(2), output="h")])
+    with pytest.raises(LeakageError, match="Horizon"):
+        pipe.fit(df).transform(df)
+
+
+def test_horizon_builds_leads_when_whitelisted(spark):
+    df = spark.createDataFrame(
+        [("u", 1.0, 10.0), ("u", 2.0, 20.0), ("u", 3.0, 30.0)],
+        "url string, warc_ts double, y double",
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("y", Horizon(2, allow_future=True), output="h")]
+    )
+    out = pipe.fit(df).transform(df).orderBy("warc_ts").toPandas()
+    assert out["h_0"].tolist()[:2] == [20.0, 30.0] and np.isnan(out["h_0"][2])
+    assert out["h_1"].tolist()[:1] == [30.0]
+    assert np.isnan(out["h_1"][1]) and np.isnan(out["h_1"][2])
+
+
+# ---- KNNImputer: bucketed-neighbor approximation contract -------------
+
+
+def _knn_fixture(spark):
+    # bucket A: donors at coords 0,1,2 with values 10,20,30; one missing
+    # row at coord 0.1 (nearest donors 0,1 -> mean 15 with k=2).
+    # bucket B: a donor at coord 0.05 with value 999 — closer in space
+    # than any A donor, but MUST NOT be used (cross-bucket).
+    rows = [
+        (1, "A", 0.0, 0.0, 10.0),
+        (2, "A", 1.0, 0.0, 20.0),
+        (3, "A", 2.0, 0.0, 30.0),
+        (4, "A", 0.1, 0.0, None),
+        (5, "B", 0.05, 0.0, 999.0),
+        (6, "B", 5.0, 0.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, b string, x double, y double, v double"
+    )
+
+
+def test_knn_imputer_bucketed(spark):
+    df = _knn_fixture(spark)
+    imp = KNNImputer(n_neighbors=2, feature_cols=["x", "y"], by="b", id_col="id")
+    ctx = PipelineContext(entity_col="b", time_col="x", point_in_time=False)
+    imp.fit(df, ["v"], ctx)
+    out, names = imp.transform_df(df, ["v"], "vi", ctx)
+    pdf = out.orderBy("id").toPandas()
+    assert names == ["vi"]
+    # nearest A donors to 0.1 are x=0 (d²=0.01) and x=1 (d²=0.81)
+    assert pdf.loc[3, "vi"] == pytest.approx(15.0)
+    # cross-bucket donor 999 (closer!) is never consulted — that IS the
+    # approximation: error vs exact KNN is bounded by bucket purity
+    assert pdf.loc[3, "vi"] != pytest.approx((10.0 + 999.0) / 2)
+    # B's missing row has a single donor -> k clamps to 1
+    assert pdf.loc[5, "vi"] == pytest.approx(999.0)
+    # donors pass through untouched
+    assert pdf.loc[0, "vi"] == 10.0
+
+
+def test_knn_imputer_requires_features():
+    with pytest.raises(ValueError, match="feature_cols"):
+        KNNImputer(n_neighbors=3).fit(None, ["v"], None)
