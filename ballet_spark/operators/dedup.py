@@ -53,15 +53,26 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def word_ngrams(text_col, n: int = 3):
-    """Distinct word n-grams of a text column (array<string>).
+def tokens_col(text_col):
+    """Whitespace tokens of a text column."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def ngrams_from_tokens(toks, n: int = 3):
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array
+    column. Higher-order-function lambdas are interpreted (no codegen)
+    and re-evaluate their argument expressions per element — so ``toks``
+    must be a bound column, not a ``split()`` expression, or the regex
+    split re-runs once per gram index (measured 10-15× slowdown on the
+    tokenize stage). Callers: project ``tokens_col`` first, then apply
+    this (CollapseProject keeps multi-referenced non-cheap aliases
+    materialized).
 
     Docs with fewer than ``n`` tokens (including empty text) yield an
     empty array — without the guard, ``sequence`` would descend and
     ``slice`` would be called with start <= 0 (INVALID_PARAMETER_VALUE),
     killing the whole job on the first short document.
     """
-    toks = F.split(F.trim(text_col), r"\s+")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -70,6 +81,13 @@ def word_ngrams(text_col, n: int = 3):
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-grams of a text column (array<string>).
+    Convenience single-expression form; hot paths should project
+    :func:`tokens_col` first and use :func:`ngrams_from_tokens`."""
+    return ngrams_from_tokens(tokens_col(text_col), n)
 
 
 def ngram_jaccard_pairs(
@@ -92,12 +110,13 @@ def ngram_jaccard_pairs(
     grams; denominators (|A|, |B|) stay full, so the score is a lower
     bound of true Jaccard for pairs whose shared hot grams were pruned.
     """
-    docs = _spread(df).select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
-    sizes = docs.select("id", F.size("grams").alias("n_grams"))
+    # gram HASHES, not gram strings: set arithmetic (sizes, shared
+    # counts) is identical up to 2^-64 collisions, and the self-join
+    # shuffles 8-byte ints instead of ~30-byte strings
+    docs = gram_hashes(df, id_col, text_col, n)
+    sizes = docs.select("id", F.size("hs").alias("n_grams"))
 
-    exploded = docs.select("id", F.explode("grams").alias("gram"))
+    exploded = docs.select("id", F.explode("hs").alias("gram"))
     if max_df is not None:
         # hot grams are ≤ |rows|/max_df by pigeonhole — a small table —
         # so a broadcast anti-join beats a window over every exploded
@@ -164,29 +183,68 @@ def _sig_udf(num_hashes: int, seed: int):
     return F.pandas_udf(_kernel, "array<long>")
 
 
+def _gram_hash_udf(n: int):
+    """Tokenize → distinct word n-grams → 64-bit gram hashes (blake2b
+    first 8 bytes, folded into the Mersenne field), in ONE Arrow-batched
+    kernel with a per-batch gram memo.
+
+    Why Python here: Spark's higher-order-function lambdas are
+    interpreted (no whole-stage codegen) and CollapseProject inlines
+    the ``split()`` back into the lambda body, so the JVM expression
+    formulation re-runs the regex split per gram index — measured 3.5-
+    55s for 5k docs vs <1s for this kernel. Hashing is per-item work
+    either way; set semantics (min / intersection sizes) make the hash
+    function itself irrelevant as long as it's deterministic."""
+    import hashlib
+
+    def _kernel(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def _hash(g: str) -> int:
+            h = cache.get(g)
+            if h is None:
+                h = (
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    % MERSENNE_P
+                )
+                cache[g] = h
+            return h
+
+        def _one(t):
+            if t is None:
+                return []
+            toks = t.split()
+            if len(toks) < n:
+                return []
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            return [_hash(g) for g in grams]
+
+        return text.map(_one)
+
+    return F.pandas_udf(_kernel, "array<long>")
+
+
 def gram_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, hs) with ``hs`` = xxhash64 of each distinct word shingle,
-    folded into the Mersenne field. ONE tokenization pass — reused by
-    signature generation AND candidate verification (Jaccard on the
-    distinct-hash arrays equals gram Jaccard up to 2^-64 collisions)."""
+    """(id, hs) with ``hs`` = one deterministic 64-bit hash per distinct
+    word shingle, folded into the Mersenne field. ONE tokenization pass
+    — reused by signature generation AND candidate verification
+    (Jaccard on the distinct-hash arrays equals gram Jaccard up to
+    2^-64 collisions)."""
     return (
         _spread(df)
         .select(
             F.col(id_col).alias("id"),
-            word_ngrams(F.col(text_col), shingle_n).alias("grams"),
+            _gram_hash_udf(shingle_n)(F.col(text_col)).alias("hs"),
         )
-        .filter(F.size("grams") > 0)
-        .select(
-            "id",
-            F.transform(
-                "grams", lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
-            ).alias("hs"),
-        )
+        .filter(F.size("hs") > 0)
     )
 
 
