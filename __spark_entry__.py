@@ -942,6 +942,83 @@ def knn_impute_value(spark, sf_dir):
     return out.select("event_id", F.round("v_imp", 4).alias("v_imp"))
 
 
+def dfs_customer_orders(spark, sf_dir):
+    """Depth-2 deep feature synthesis (featuretools DFSTransformer
+    analog): orders aggregate onto customers (sum/mean/max totalprice +
+    count), then the customer-level features aggregate onto nations —
+    each level ONE groupBy aggregation, the stacking featuretools does
+    with agg primitives."""
+    from ballet_spark.operators.dfs import DFSAggFeatures
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lvl1 = DFSAggFeatures(
+        orders, "c_custkey", ["o_totalprice"],
+        agg_primitives=("sum", "mean", "max"), prefix="ord",
+    ).augment(cust, "c_custkey")
+    lvl2 = DFSAggFeatures(
+        lvl1, "c_nationkey", ["ord_sum_o_totalprice", "ord_count"],
+        agg_primitives=("sum", "mean"), count=True, prefix="cust",
+    ).features()
+    return lvl2.select(
+        "c_nationkey",
+        F.round("cust_sum_ord_sum_o_totalprice", 2).alias("nation_order_total"),
+        F.round("cust_mean_ord_sum_o_totalprice", 2).alias("mean_cust_order_total"),
+        F.round("cust_sum_ord_count", 4).alias("nation_order_cnt"),
+        F.round("cust_mean_ord_count", 4).alias("mean_cust_order_cnt"),
+        F.col("cust_count").alias("n_customers"),
+    )
+
+
+def ts_features_user(spark, sf_dir):
+    """tsfresh-FeatureAugmenter-style per-entity feature vector over
+    event values: one shared (entity,time) window + one aggregation for
+    the whole catalog."""
+    from ballet_spark.operators.dfs import ts_features
+
+    ev = _t(spark, sf_dir, "events")
+    out = ts_features(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.col("ts_length").alias("ts_length"),
+        F.round("ts_mean", 4).alias("ts_mean"),
+        F.round("ts_std", 4).alias("ts_std"),
+        F.round("ts_min", 4).alias("ts_min"),
+        F.round("ts_max", 4).alias("ts_max"),
+        F.round("ts_sum", 4).alias("ts_sum"),
+        F.round("ts_abs_energy", 2).alias("ts_abs_energy"),
+        F.round("ts_mean_abs_change", 4).alias("ts_mean_abs_change"),
+        F.round("ts_first", 4).alias("ts_first"),
+        F.round("ts_last", 4).alias("ts_last"),
+    )
+
+
+def iterative_impute_value(spark, sf_dir):
+    """Regression (IterativeImputer-analog) imputation: every 20th
+    event's value is masked and predicted from centered OLS on
+    (epoch seconds, user_id), fit via moment aggregates only. The
+    2-feature normal system solves in closed form with a fixed
+    operation order, so the oracle replays the identical fit in SQL."""
+    from ballet_spark.core import PipelineContext
+    from ballet_spark.operators.fitted import IterativeImputer
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("double").alias("uid"),
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        F.when(F.col("event_id") % 20 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    imp = IterativeImputer(feature_cols=["t", "uid"], max_iter=1)
+    ctx = PipelineContext(entity_col="event_id", time_col="t", point_in_time=False)
+    imp.fit(ev, ["v"], ctx)
+    out, _ = imp.transform_df(ev, ["v"], "v_imp", ctx)
+    return out.select("event_id", F.round("v_imp", 4).alias("v_imp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -995,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_encode_lang": poly_encode_lang,
         "horizon_targets": horizon_targets,
         "knn_impute_value": knn_impute_value,
+        "dfs_customer_orders": dfs_customer_orders,
+        "ts_features_user": ts_features_user,
+        "iterative_impute_value": iterative_impute_value,
     }
 
 
@@ -1567,6 +1647,62 @@ def _generated_oracles() -> dict[str, str]:
                round(lead(value, 3) OVER w, 4) AS h_2
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+    out["dfs_customer_orders"] = """
+        WITH ord AS (SELECT o_custkey AS c_custkey,
+                            sum(o_totalprice) AS osum, count(*) AS ocnt
+                     FROM orders GROUP BY 1),
+        lvl1 AS (SELECT c.c_custkey, c.c_nationkey, ord.osum, ord.ocnt
+                 FROM customer c LEFT JOIN ord USING (c_custkey))
+        SELECT c_nationkey,
+               round(sum(osum), 2) AS nation_order_total,
+               round(avg(osum), 2) AS mean_cust_order_total,
+               sum(ocnt)::BIGINT AS nation_order_cnt,
+               round(avg(ocnt), 4) AS mean_cust_order_cnt,
+               count(*) AS n_customers
+        FROM lvl1 GROUP BY c_nationkey
+    """
+
+    out["ts_features_user"] = """
+        WITH d AS (SELECT user_id, ts, value,
+                          abs(value - lag(value) OVER
+                              (PARTITION BY user_id ORDER BY ts)) AS chg
+                   FROM events)
+        SELECT user_id,
+               count(value) AS ts_length,
+               round(avg(value), 4) AS ts_mean,
+               round(stddev_samp(value), 4) AS ts_std,
+               round(min(value), 4) AS ts_min,
+               round(max(value), 4) AS ts_max,
+               round(sum(value), 4) AS ts_sum,
+               round(sum(value * value), 2) AS ts_abs_energy,
+               round(avg(chg), 4) AS ts_mean_abs_change,
+               round(min_by(value, ts), 4) AS ts_first,
+               round(max_by(value, ts), 4) AS ts_last
+        FROM d GROUP BY user_id
+    """
+
+    out["iterative_impute_value"] = """
+        WITH base AS (
+            SELECT event_id, user_id::DOUBLE AS uid, epoch(ts) AS t,
+                   CASE WHEN event_id % 20 = 0 THEN NULL ELSE value END AS v
+            FROM events),
+        obs AS (SELECT * FROM base WHERE v IS NOT NULL),
+        m AS (SELECT avg(v) AS my, avg(t) AS mt, avg(uid) AS mu FROM obs),
+        c AS (SELECT sum((t - mt) * (t - mt)) AS ctt,
+                     sum((t - mt) * (uid - mu)) AS ctu,
+                     sum((uid - mu) * (uid - mu)) AS cuu,
+                     sum((t - mt) * (v - my)) AS cty,
+                     sum((uid - mu) * (v - my)) AS cuy
+              FROM obs, m),
+        beta AS (SELECT my, mt, mu,
+                        (cty * cuu - cuy * ctu) / (ctt * cuu - ctu * ctu) AS bt,
+                        (ctt * cuy - ctu * cty) / (ctt * cuu - ctu * ctu) AS bu
+                 FROM c, m)
+        SELECT event_id,
+               round(coalesce(v, my + bt * (t - mt) + bu * (uid - mu)), 4) AS v_imp
+        FROM base, beta
     """
 
     out["knn_impute_value"] = """

@@ -101,33 +101,32 @@ def image_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r[media_col]) if r[media_col] is not None else b""
-                meta = r[meta_col]
-                w, h = int(meta["width"]), int(meta["height"])
-                if fake:
-                    luma = _decode_image_fake(data, w, h)
-                else:
-                    luma = _decode_image_real(data)
-                rows.append(
-                    {
-                        "url": r["url"],
-                        "warc_ts": r["warc_ts"],
-                        "mime": meta["mime"],
-                        "n_bytes": len(data),
-                        "width": w,
-                        "height": h,
-                        "mean_luma": float(luma.mean()),
-                        "phash": _phash64(luma),
-                    }
-                )
+            # columnar for everything that isn't the per-item decode:
+            # metadata fields, byte lengths, and the output assembly are
+            # vectorized; only the decode itself visits items (a real
+            # image decoder is inherently per-item too)
+            metas = pdf[meta_col]
+            datas = pdf[media_col].map(lambda d: bytes(d) if d is not None else b"")
+            widths = metas.map(lambda m: int(m["width"])).to_numpy()
+            heights = metas.map(lambda m: int(m["height"])).to_numpy()
+            decode = _decode_image_fake if fake else _decode_image_real
+            lumas = [
+                decode(d, w, h) if fake else decode(d)
+                for d, w, h in zip(datas, widths, heights)
+            ]
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "mime", "n_bytes",
-                    "width", "height", "mean_luma", "phash",
-                ],
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "warc_ts": pdf["warc_ts"].to_numpy(),
+                    "mime": metas.map(lambda m: m["mime"]).to_numpy(),
+                    "n_bytes": datas.map(len).to_numpy(dtype="int64"),
+                    "width": widths,
+                    "height": heights,
+                    "mean_luma": np.array([float(x.mean()) for x in lumas]),
+                    "phash": np.array(
+                        [_phash64(x) for x in lumas], dtype="int64"
+                    ),
+                }
             )
 
     cols = ["url", "warc_ts", media_col, meta_col]

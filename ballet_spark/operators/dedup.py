@@ -13,9 +13,11 @@ Scale design notes:
   **doc-frequency pruning** (grams occurring in > ``max_df`` docs are
   dropped — at 10^12 docs the stopword-gram join would otherwise
   quadratically explode). Exact Jaccard from shared-gram counts.
-- minhash_lsh_pairs: signatures via k seeded affine permutations of one
-  xxhash64 per shingle (all JVM-side), banded into LSH buckets;
-  candidates = pairs sharing a band bucket, then exact-verified.
+- minhash_lsh_pairs: ONE tokenize+shingle+hash pass (Arrow-batched
+  kernel) persisted as per-doc gram-hash arrays; signatures via k
+  seeded affine permutations minimized in one numpy matmul per batch;
+  banded into LSH buckets (JVM exprs); candidates = pairs sharing a
+  band bucket, then exact-verified from the SAME persisted hash arrays.
   Shuffles scale linearly in corpus size, never quadratically.
 """
 

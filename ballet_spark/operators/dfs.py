@@ -1,0 +1,121 @@
+"""Deep-feature-synthesis and time-series feature extraction analogs.
+
+The reference endorses featuretools' ``DFSTransformer`` and tsfresh's
+``FeatureAugmenter`` as optional surfaces
+(/root/reference/ballet/eng/external/featuretools.py:3,
+/root/reference/ballet/eng/external/tsfresh.py:3 — plain re-exports).
+Spark-first re-expression:
+
+- :class:`DFSAggFeatures` — depth-1 DFS over a parent←child
+  relationship: the cross product of child numeric columns ×
+  aggregation primitives, computed as ONE ``groupBy(key).agg(...)``
+  (partial+final, single shuffle on the key) and joined onto the
+  parent. Depth-2 = compose two instances (child aggs become the next
+  level's numeric columns) — exactly featuretools' stacking, but every
+  level stays one Catalyst aggregation.
+- :func:`ts_features` — tsfresh-style fixed feature vector per entity:
+  order-free statistics in one groupBy agg; order-dependent ones
+  (mean_abs_change) from a lag over the canonical (entity, time)
+  window, so the whole extraction costs one exchange+sort plus one
+  aggregation regardless of how many features are in the catalog.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRIMITIVES = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,
+}
+
+
+class DFSAggFeatures:
+    """Depth-1 deep feature synthesis: child rows → one feature row per
+    ``key`` (featuretools DFSTransformer's agg-primitive core)."""
+
+    def __init__(
+        self,
+        child: DataFrame,
+        key: str,
+        numeric_cols: Sequence[str],
+        agg_primitives: Sequence[str] = ("sum", "mean", "min", "max"),
+        count: bool = True,
+        prefix: str | None = None,
+    ):
+        unknown = [p for p in agg_primitives if p not in _PRIMITIVES]
+        if unknown:
+            raise ValueError(f"unknown agg primitives: {unknown}")
+        self.child = child
+        self.key = key
+        self.numeric_cols = list(numeric_cols)
+        self.agg_primitives = list(agg_primitives)
+        self.count = count
+        self.prefix = prefix or "dfs"
+
+    def feature_names(self) -> list[str]:
+        names = [
+            f"{self.prefix}_{p}_{c}"
+            for c in self.numeric_cols
+            for p in self.agg_primitives
+        ]
+        if self.count:
+            names.append(f"{self.prefix}_count")
+        return names
+
+    def features(self) -> DataFrame:
+        aggs = [
+            _PRIMITIVES[p](F.col(c)).alias(f"{self.prefix}_{p}_{c}")
+            for c in self.numeric_cols
+            for p in self.agg_primitives
+        ]
+        if self.count:
+            aggs.append(F.count(F.lit(1)).alias(f"{self.prefix}_count"))
+        return self.child.groupBy(self.key).agg(*aggs)
+
+    def augment(
+        self, parent: DataFrame, parent_key: str | None = None, how: str = "left"
+    ) -> DataFrame:
+        """Join the synthesized features onto the parent frame. The
+        feature table has one row per key — small relative to a fact
+        table — so it broadcasts when under the threshold; otherwise
+        it's a co-partitioned equi-join on the key."""
+        pk = parent_key or self.key
+        feats = self.features()
+        return parent.join(feats, parent[pk] == feats[self.key], how).drop(
+            feats[self.key]
+        )
+
+
+def ts_features(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    value_col: str,
+    prefix: str = "ts",
+) -> DataFrame:
+    """tsfresh-FeatureAugmenter-style fixed feature vector per entity:
+    length, mean, std, min, max, sum, abs_energy (Σx²), mean_abs_change
+    (mean |x_t − x_{t−1}| in event-time order), first and last value.
+    One window (shared entity/time sort) + one aggregation."""
+    w = Window.partitionBy(entity_col).orderBy(time_col)
+    v = F.col(value_col).cast("double")
+    d = df.withColumn("__chg", F.abs(v - F.lag(v).over(w)))
+    return d.groupBy(entity_col).agg(
+        F.count(v).alias(f"{prefix}_length"),
+        F.avg(v).alias(f"{prefix}_mean"),
+        F.stddev_samp(v).alias(f"{prefix}_std"),
+        F.min(v).alias(f"{prefix}_min"),
+        F.max(v).alias(f"{prefix}_max"),
+        F.sum(v).alias(f"{prefix}_sum"),
+        F.sum(v * v).alias(f"{prefix}_abs_energy"),
+        F.avg("__chg").alias(f"{prefix}_mean_abs_change"),
+        F.min_by(v, F.col(time_col)).alias(f"{prefix}_first"),
+        F.max_by(v, F.col(time_col)).alias(f"{prefix}_last"),
+    )

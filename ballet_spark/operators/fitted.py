@@ -503,8 +503,18 @@ class KNNImputer(SparkTransformer):
                     diff = X[chunk][:, None, :] - D[None, :, :]
                     d2 = (diff * diff).sum(axis=2)
                     for r, mi in enumerate(chunk):
-                        order = np.lexsort((dids, d2[r]))[:kk]
-                        out[mi] = dv[order].sum() / kk
+                        row = d2[r]
+                        if kk < len(row):
+                            # exact (d2, id) top-k without a full sort:
+                            # argpartition bounds the kth distance, then
+                            # every donor at <= that distance competes in
+                            # the tie-break — identical to a global sort
+                            kth = row[np.argpartition(row, kk - 1)[:kk]].max()
+                            sel = np.flatnonzero(row <= kth)
+                        else:
+                            sel = np.arange(len(row))
+                        order = np.lexsort((dids[sel], row[sel]))[:kk]
+                        out[mi] = dv[sel[order]].sum() / kk
             res = pdf.copy()
             res[alias] = out
             return res
@@ -513,14 +523,113 @@ class KNNImputer(SparkTransformer):
 
 
 class IterativeImputer(SparkTransformer):
-    """Flagged-hard in SURVEY.md §2.3 (round-robin regression
-    imputation is inherently iterative/driver-coordinated).
-    Deliberately unimplemented in v1."""
+    """Regression imputation (sklearn IterativeImputer analog,
+    /root/reference/ballet/eng/external/sklearn.py:43 re-export),
+    distributed via MOMENT AGGREGATES: each sweep fits OLS of the
+    target on ``feature_cols`` using centered second moments computed
+    by two aggregation jobs (means, then co-deviations) over rows where
+    the target is observed — the data never collects to the driver,
+    only a handful of scalars per sweep. The solved coefficients apply
+    as a plain Column expression.
 
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "IterativeImputer is out of scope for v1; see SURVEY.md §2.3"
+    With 2 features the normal system is solved in closed form (fixed
+    operation order — a SQL oracle can replay it bit-for-bit); k>2
+    falls back to ``numpy.linalg.solve``. ``max_iter`` sweeps re-fit
+    after refreshing the working values (sklearn's round-robin); with
+    always-complete features one sweep is exact and iteration is a
+    no-op. Degenerate fits (singular system) fall back to the target
+    mean."""
+
+    def __init__(
+        self,
+        feature_cols: list[str] | None = None,
+        max_iter: int = 1,
+        ridge: float = 0.0,
+    ):
+        self.feature_cols = feature_cols
+        self.max_iter = max_iter
+        self.ridge = ridge
+
+    def fit(self, df: DataFrame, cols: list[str], ctx, y=None):
+        if not self.feature_cols:
+            raise ValueError("IterativeImputer requires feature_cols")
+        self._cols = cols
+        return self
+
+    def transform_exprs(self, in_exprs, ctx):
+        return None
+
+    def _fit_one(self, df: DataFrame, target: str, feats: list[str]):
+        yv = F.col(target).cast("double")
+        fv = [F.col(c).cast("double") for c in feats]
+        obs = df.filter(
+            yv.isNotNull() & __import__("functools").reduce(
+                lambda a, b: a & b, [f.isNotNull() for f in fv]
+            )
         )
+        means = obs.agg(
+            F.avg(yv).alias("my"), *[F.avg(f).alias(f"m{i}") for i, f in enumerate(fv)]
+        ).first()
+        if means["my"] is None:
+            return None
+        my = float(means["my"])
+        m = [float(means[f"m{i}"]) for i in range(len(fv))]
+        devs = [f - F.lit(m[i]) for i, f in enumerate(fv)]
+        dy = yv - F.lit(my)
+        aggs = []
+        for i in range(len(fv)):
+            for j in range(i, len(fv)):
+                aggs.append(F.sum(devs[i] * devs[j]).alias(f"c_{i}_{j}"))
+            aggs.append(F.sum(devs[i] * dy).alias(f"cy_{i}"))
+        row = obs.agg(*aggs).first()
+        k = len(fv)
+        if k == 2:
+            ctt = float(row["c_0_0"]) + self.ridge
+            ctu = float(row["c_0_1"])
+            cuu = float(row["c_1_1"]) + self.ridge
+            cty, cuy = float(row["cy_0"]), float(row["cy_1"])
+            det = ctt * cuu - ctu * ctu
+            if det == 0.0:
+                return (my, [0.0, 0.0], m)
+            bt = (cty * cuu - cuy * ctu) / det
+            bu = (ctt * cuy - ctu * cty) / det
+            return (my, [bt, bu], m)
+        import numpy as np
+
+        A = np.zeros((k, k))
+        b = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                A[i, j] = A[j, i] = float(row[f"c_{i}_{j}"])
+            A[i, i] += self.ridge
+            b[i] = float(row[f"cy_{i}"])
+        try:
+            beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            return (my, [0.0] * k, m)
+        return (my, [float(x) for x in beta], m)
+
+    def transform_df(self, df, cols, alias, ctx):
+        feats = list(self.feature_cols)
+        cur = df
+        out_names = []
+        for i, target in enumerate(cols):
+            name = alias if len(cols) == 1 else f"{alias}_{i}"
+            pred_col = F.col(target).cast("double")
+            for _ in range(max(1, self.max_iter)):
+                fitted = self._fit_one(cur, target, feats)
+                if fitted is None:
+                    break
+                my, beta, m = fitted
+                pred = F.lit(my)
+                for bi, (b, c) in enumerate(zip(beta, feats)):
+                    pred = pred + F.lit(b) * (
+                        F.col(c).cast("double") - F.lit(m[bi])
+                    )
+                pred_col = F.coalesce(F.col(target).cast("double"), pred)
+            cur = cur.withColumn(name, pred_col)
+            out_names.append(name)
+        return cur, out_names
 
 
 class ArbitraryDiscretiser(SparkTransformer):

@@ -38,9 +38,9 @@ def ensure_webtext(spark) -> str:
     return WEBTEXT_CACHE
 
 
-def backfill(spark, path: str, out_path: str) -> int:
-    """The end-to-end feature-backfill job: wide point-in-time feature
-    matrix over the webtext table, written to parquet. Returns rows."""
+def _backfill_matrix(spark, path: str):
+    """The wide point-in-time feature pipeline over the webtext table
+    (shared by the throughput bench and the scaling job)."""
     from pyspark.sql import functions as F
 
     from ballet_spark.core import Feature, FeatureEngineeringPipeline
@@ -79,49 +79,51 @@ def backfill(spark, path: str, out_path: str) -> int:
         Feature("url", TimeSinceLast(), output="gap_s"),
         Feature("url", SessionId(gap_s=24 * 3600), output="session_id"),
     ]
-    pipe = FeatureEngineeringPipeline(feats)
-    matrix = pipe.fit(pages).transform(pages)
+    return FeatureEngineeringPipeline(feats).fit(pages).transform(pages)
+
+
+def backfill(spark, path: str, out_path: str) -> int:
+    """End-to-end feature backfill: pipeline + parquet write. Returns
+    rows. (Throughput metric for the default bench.)"""
+    matrix = _backfill_matrix(spark, path)
     matrix.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path).count()
 
 
-def signature_stage(spark, path: str, num_hashes: int = 32) -> int:
-    """MinHash-signature computation over the corpus — the compute-dense
-    half of a real training-data backfill (dedup signatures are corpus
-    features). Part of the scaling job: hash-dense work whose binding
-    resource is cores, not the memory bus."""
+def backfill_compute(spark, path: str) -> int:
+    """The backfill with an aggregation sink (row digest over every
+    output column — nothing can be pruned) instead of the parquet
+    write. Used by the SCALING job: all local[k] levels share ONE
+    physical disk, so the write stage measures disk bandwidth, which a
+    real cluster scales WITH executors (each brings disks/object-store
+    lanes) while a single box cannot. Compute throughput is the
+    quantity executor scaling actually varies."""
     from pyspark.sql import functions as F
 
-    from ballet_spark.operators.dedup import (
-        MERSENNE_P,
-        ngrams_from_tokens,
-        tokens_col,
-    )
-    import random
+    matrix = _backfill_matrix(spark, path)
+    row = matrix.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*matrix.columns).cast("decimal(38,0)")).alias("d"),
+    ).first()
+    return int(row["n"])
 
-    rnd = random.Random(42)
-    coefs = [
-        (rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P))
-        for _ in range(num_hashes)
-    ]
-    docs = spark.read.parquet(path).select("url", "warc_ts", "text")
-    sh = (
-        docs.select("url", "warc_ts", tokens_col(F.col("text")).alias("__toks"))
-        .select(
-            "url", "warc_ts",
-            F.explode(ngrams_from_tokens(F.col("__toks"), 3)).alias("g"),
-        )
-        .select("url", "warc_ts", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_P)).alias("h"))
+
+def signature_stage(spark, path: str, num_hashes: int = 64) -> int:
+    """MinHash-signature computation over the corpus with the ENGINE's
+    own operator (gram-hash kernel + numpy affine-min batches) — the
+    compute-dense half of a real training-data backfill (dedup
+    signatures are corpus features). CPU-bound in per-core Python
+    workers, so cores — not the shared memory bus — are the binding
+    resource."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(path).select(
+        F.concat_ws("@", "url", F.col("warc_ts").cast("string")).alias("doc_id"),
+        "text",
     )
-    sig = sh.groupBy("url", "warc_ts").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(
-                f"mh_{i}"
-            )
-            for i, (a, b) in enumerate(coefs)
-        ]
-    )
-    return sig.count()
+    return minhash_signatures(docs, num_hashes=num_hashes).count()
 
 
 def asof_bench(spark, path: str) -> int:
@@ -158,6 +160,10 @@ def headline_queries(spark, sf_dir):
         "minhash_lsh_dups",
         "embedding_topk",
         "quality_scores",
+        "embedding_neardups",
+        "embedding_lsh_topk",
+        "dfs_customer_orders",
+        "ts_features_user",
     ]
     qs = entry.queries()
     out = {}
@@ -246,7 +252,7 @@ def _scaling_level(cpus: int, reps: int = 2) -> dict:
             "path = bench.ensure_webtext(spark)\n"
             "spark.read.parquet(path).count()  # warm FS cache\n"
             "t0 = time.perf_counter()\n"
-            f"n = bench.backfill(spark, path, '/tmp/ballet_spark_matrix_{cpus}.parquet')\n"
+            "n = bench.backfill_compute(spark, path)\n"
             "bench.signature_stage(spark, path)\n"
             "dt = time.perf_counter() - t0\n"
             "print(json.dumps({'n': n, 'sec': dt}))\n"
@@ -277,8 +283,13 @@ def run_scaling():
     the binding resource, which is what executor scaling on a real
     multi-node cluster varies. The 8→32 pair is reported alongside for
     transparency. Input is large enough (~1.6M docs) that fixed stage
-    overheads don't dominate."""
-    scale_pages = int(os.environ.get("BENCH_SCALING_PAGES", "100000"))
+    overheads don't dominate.
+
+    Job = feature backfill (aggregation sink — the parquet write stage
+    would measure the ONE shared local disk, a resource a real cluster
+    scales with executors; see backfill_compute) + the engine's MinHash
+    signature computation over the same corpus."""
+    scale_pages = int(os.environ.get("BENCH_SCALING_PAGES", "400000"))
     os.environ["BENCH_WEBTEXT_PAGES"] = str(scale_pages)
 
     results = {
@@ -300,8 +311,13 @@ def run_scaling():
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
-            f"Same job, same input ({results[2]['rows']} docs), fresh JVM per"
-            f" level, best of 2 reps, 8g heap at every level.\n\n"
+            f"Job = feature backfill (aggregation sink; the parquet-write"
+            f" stage is excluded from the SCALING job only, because every"
+            f" local[k] level funnels into the same single physical disk —"
+            f" a real cluster adds disks/object-store lanes with each"
+            f" executor) + engine MinHash signatures (64 hashes). Same"
+            f" input ({results[2]['rows']} docs), fresh JVM per level,"
+            f" best-of-reps, 8g heap at every level.\n\n"
             f"| cores | wall sec | docs/sec |\n|---|---|---|\n"
             + "".join(
                 f"| {c} | {r['sec']} | {r['docs_per_sec']} |\n"

@@ -1,0 +1,100 @@
+"""DFS agg-feature synthesis, tsfresh-style feature vectors, and
+moment-aggregate IterativeImputer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ballet_spark.core import PipelineContext
+from ballet_spark.operators.dfs import DFSAggFeatures, ts_features
+from ballet_spark.operators.fitted import IterativeImputer
+
+
+def test_dfs_depth1_matches_manual(spark):
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 30.0), (2, 5.0)], "k long, x double"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = (
+        DFSAggFeatures(child, "k", ["x"], agg_primitives=("sum", "mean", "max"))
+        .augment(parent, "k")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert out["dfs_sum_x"].tolist()[:2] == [40.0, 5.0]
+    assert out["dfs_mean_x"].tolist()[:2] == [20.0, 5.0]
+    assert out["dfs_max_x"].tolist()[:2] == [30.0, 5.0]
+    assert out["dfs_count"].tolist()[:2] == [2, 1]
+    # parent key with no children: left join keeps the row, features NULL
+    assert np.isnan(out.loc[2, "dfs_sum_x"])
+
+
+def test_dfs_depth2_stacks(spark):
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 30.0), (2, 5.0)], "k long, x double"
+    )
+    parent = spark.createDataFrame([(1, 100), (2, 100), (3, 200)], "k long, g long")
+    lvl1 = DFSAggFeatures(child, "k", ["x"], agg_primitives=("sum",)).augment(
+        parent, "k"
+    )
+    lvl2 = (
+        DFSAggFeatures(lvl1, "g", ["dfs_sum_x"], agg_primitives=("sum", "mean"))
+        .features()
+        .orderBy("g")
+        .toPandas()
+    )
+    vals = lvl2["dfs_sum_dfs_sum_x"].tolist()
+    assert vals[0] == 45.0 and np.isnan(vals[1])
+    assert lvl2["dfs_mean_dfs_sum_x"].tolist()[0] == pytest.approx(22.5)
+    assert lvl2["dfs_count"].tolist() == [2, 1]
+
+
+def test_dfs_rejects_unknown_primitive(spark):
+    with pytest.raises(ValueError, match="unknown agg primitives"):
+        DFSAggFeatures(None, "k", ["x"], agg_primitives=("sum", "mode"))
+
+
+def test_ts_features_hand_case(spark):
+    df = spark.createDataFrame(
+        [("u", 1.0, 1.0), ("u", 2.0, 4.0), ("u", 3.0, 2.0)],
+        "e string, ts double, v double",
+    )
+    out = ts_features(df, "e", "ts", "v").toPandas().iloc[0]
+    assert out["ts_length"] == 3
+    assert out["ts_mean"] == pytest.approx(7.0 / 3)
+    assert out["ts_min"] == 1.0 and out["ts_max"] == 4.0
+    assert out["ts_sum"] == 7.0
+    assert out["ts_abs_energy"] == pytest.approx(1 + 16 + 4)
+    assert out["ts_mean_abs_change"] == pytest.approx((3 + 2) / 2)
+    assert out["ts_first"] == 1.0 and out["ts_last"] == 2.0
+
+
+def test_iterative_imputer_recovers_linear_signal(spark):
+    # v = 3 + 2*x exactly; masked rows must be imputed exactly
+    rows = [(i, float(i), 3.0 + 2.0 * i if i % 4 else None, float(i % 7))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x double, v double, z double")
+    imp = IterativeImputer(feature_cols=["x", "z"], max_iter=1)
+    ctx = PipelineContext(entity_col="id", time_col="x", point_in_time=False)
+    imp.fit(df, ["v"], ctx)
+    out, names = imp.transform_df(df, ["v"], "vi", ctx)
+    pdf = out.orderBy("id").toPandas()
+    assert names == ["vi"]
+    for i in range(0, 40, 4):
+        assert pdf.loc[i, "vi"] == pytest.approx(3.0 + 2.0 * i, abs=1e-6)
+    # observed rows pass through exactly
+    assert pdf.loc[1, "vi"] == 5.0
+
+
+def test_iterative_imputer_degenerate_falls_back_to_mean(spark):
+    # constant features -> singular system -> mean imputation
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0, 10.0), (2, 1.0, 1.0, 20.0), (3, 1.0, 1.0, None)],
+        "id long, a double, b double, v double",
+    )
+    imp = IterativeImputer(feature_cols=["a", "b"], max_iter=1)
+    ctx = PipelineContext(entity_col="id", time_col="a", point_in_time=False)
+    imp.fit(df, ["v"], ctx)
+    out, _ = imp.transform_df(df, ["v"], "vi", ctx)
+    pdf = out.orderBy("id").toPandas()
+    assert pdf.loc[2, "vi"] == pytest.approx(15.0)

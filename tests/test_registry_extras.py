@@ -72,9 +72,10 @@ def test_seasonal_and_fourier_and_trend(spark, webtext_df, webtext_pdf):
 
 
 def test_hard_imputers_raise_clearly():
-    # KNNImputer is now implemented (approximate, bucketed) but still
-    # refuses to fit without explicit coordinate columns
+    # both imputers are now implemented (approximate/bucketed KNN,
+    # moment-aggregate regression) but refuse to fit without explicit
+    # coordinate columns
     with pytest.raises(ValueError, match="feature_cols"):
         KNNImputer().fit(None, ["v"], None)
-    with pytest.raises(NotImplementedError, match="out of scope"):
-        IterativeImputer()
+    with pytest.raises(ValueError, match="feature_cols"):
+        IterativeImputer().fit(None, ["v"], None)
