@@ -158,11 +158,18 @@ def materialize(
         part = source.filter(unit_col.isin(batch))
         # transform sees the source schema; the unit tag is re-derived
         # from the entity key on the OUTPUT (deterministic hash, so the
-        # partition layout is identical across runs/batchings)
-        matrix = fitted.transform(part).withColumn(
-            "unit", _unit_expr(entity_col, n_units)
+        # partition layout is identical across runs/batchings). The
+        # snapshot partition gives Iceberg-style time travel: each
+        # input snapshot's matrix is a separate partition tree, so
+        # ``read_matrix(..., snapshot=S)`` is a pruned VERSION-AS-OF
+        # read and re-materializing a new snapshot never disturbs the
+        # previous one.
+        matrix = (
+            fitted.transform(part)
+            .withColumn("snapshot", F.lit(input_snapshot))
+            .withColumn("unit", _unit_expr(entity_col, n_units))
         )
-        feat_cols = [c for c in matrix.columns if c != "unit"]
+        feat_cols = [c for c in matrix.columns if c not in ("unit", "snapshot")]
         obs = Observation()
         exprs = []
         for u in batch:
@@ -176,7 +183,7 @@ def materialize(
         (
             observed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("unit")
+            .partitionBy("snapshot", "unit")
             .parquet(out_path)
         )
         metrics = obs.get
@@ -201,11 +208,18 @@ def materialize(
     }
 
 
-def read_matrix(spark: SparkSession, out_path: str) -> DataFrame:
-    """Read the materialized matrix across all units (standard
-    ``unit=<u>`` partitioned layout; partition pruning on ``unit`` is
-    free for per-unit audits)."""
-    return spark.read.parquet(out_path)
+def read_matrix(
+    spark: SparkSession, out_path: str, snapshot: str | None = None
+) -> DataFrame:
+    """Read the materialized matrix (``snapshot=<s>/unit=<u>``
+    partitioned layout). ``snapshot`` is the VERSION-AS-OF read: a
+    partition-pruned scan of exactly that input snapshot's matrix —
+    later materializations never disturb earlier ones. Without it,
+    every snapshot is returned (the ``snapshot`` column disambiguates)."""
+    df = spark.read.parquet(out_path)
+    if snapshot is not None:
+        df = df.filter(F.col("snapshot") == snapshot)
+    return df
 
 
 def lineage_metrics(spark: SparkSession, lineage_path: str) -> DataFrame:

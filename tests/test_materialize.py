@@ -168,3 +168,35 @@ def test_salted_agg_matches_plain(spark, webtext_df):
     )
     for c in ("sum", "count", "min", "max", "mean"):
         assert np.allclose(got[c].to_numpy(float), exp[c].to_numpy(float))
+
+
+def test_snapshot_time_travel_read(spark, webtext_df, tmp_path):
+    """VERSION-AS-OF: materializing a later snapshot into the same
+    table must not disturb the earlier snapshot's matrix, and the
+    as-of read must prune to that snapshot's partitions."""
+    base = str(tmp_path)
+    materialize(
+        spark, webtext_df, FEATS, f"{base}/m", f"{base}/l", "snapA", n_units=4
+    )
+    a1 = _canon(read_matrix(spark, f"{base}/m", snapshot="snapA").toPandas())
+
+    # snapshot B sees a CHANGED source (text doubled -> n_chars doubles)
+    changed = webtext_df.withColumn("text", F.concat("text", "text"))
+    materialize(
+        spark, changed, FEATS, f"{base}/m", f"{base}/l", "snapB", n_units=4
+    )
+    a2 = _canon(read_matrix(spark, f"{base}/m", snapshot="snapA").toPandas())
+    b = _canon(read_matrix(spark, f"{base}/m", snapshot="snapB").toPandas())
+
+    # time travel: snapA unchanged byte-for-byte
+    assert (a1["n_chars"].to_numpy() == a2["n_chars"].to_numpy()).all()
+    assert len(a1) == len(a2) == len(b)
+    assert (b["n_chars"].to_numpy() == 2 * a1["n_chars"].to_numpy()).all()
+
+    # the as-of read is partition-pruned, not a full-table filter
+    plan = (
+        read_matrix(spark, f"{base}/m", snapshot="snapA")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "snapshot" in plan.split("PartitionFilters")[1].splitlines()[0]

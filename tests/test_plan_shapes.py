@@ -129,3 +129,64 @@ def test_asof_join_single_exchange(spark, pages_parquet):
     # union + one window: exactly one hash exchange on the entity
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 1
+
+
+def test_contrast_encoder_is_pure_project(spark, pages_parquet):
+    """Contrast coding compiles to expressions only — no join, no
+    exchange anywhere in the plan (the 10^12-row side streams)."""
+    from ballet_spark.operators.encoders import ContrastEncoder
+
+    pages = spark.read.parquet(pages_parquet)
+    out = (
+        FeatureEngineeringPipeline(
+            [Feature("lang", ContrastEncoder("helmert"), output="h")],
+            entity_col="url", time_col="warc_ts",
+        )
+        .fit(pages)
+        .transform(pages)
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_ngram_jaccard_no_window_over_exploded_grams(spark, pages_parquet):
+    """Doc-frequency pruning must be a groupBy + broadcast anti-join —
+    never a Window over every exploded gram row (the round-1 shape)."""
+    from ballet_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(pages_parquet).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+    )
+    out = ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000)
+    plan = _plan(out)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the anti-join on hot grams
+
+
+def test_dfs_level_is_single_aggregate(spark, pages_parquet):
+    """One DFS level = one partial+final hash aggregate pair, one
+    exchange on the key."""
+    from ballet_spark.operators.dfs import DFSAggFeatures
+
+    pages = spark.read.parquet(pages_parquet).select(
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("domain"),
+        F.length("text").cast("double").alias("x"),
+    )
+    out = DFSAggFeatures(pages, "domain", ["x"]).features()
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_lsh_neardup_join_is_bucket_equikey(spark):
+    """The near-dup self-join must hash-partition on the (tbl, bucket)
+    LSH key — candidates co-locate by bucket, never all-pairs."""
+    from ballet_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, threshold=0.9)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "tbl" in plan and "bucket" in plan
