@@ -168,12 +168,12 @@ def headline_queries(spark, sf_dir):
     qs = entry.queries()
     out = {}
     for n in names:
-        # best of 2: this sandbox VM has noisy-neighbor windows where
+        # best of 3: this sandbox VM has noisy-neighbor windows where
         # identical jobs run 5-25x slower (measured: the same minhash
         # job 5s vs 127s minutes apart with ZERO GC time) — a single
-        # sample is weather, the min of two is the engine
+        # sample is weather, the min of three is the engine
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[n](spark, sf_dir).count()
             dt = time.perf_counter() - t0
