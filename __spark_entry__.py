@@ -1019,6 +1019,90 @@ def iterative_impute_value(spark, sf_dir):
     return out.select("event_id", F.round("v_imp", 4).alias("v_imp"))
 
 
+def dedup_components(spark, sf_dir):
+    """Near-duplicate clusters: 3-gram Jaccard pairs ≥ 0.1 resolved to
+    connected components (every clustered doc → the min doc_id of its
+    cluster) — the pairs→canonical-representative step every dedup
+    pipeline ends with. Iterative min-label propagation, one join+agg
+    per round, rounds = graph diameter. Oracle: recursive-CTE
+    transitive closure over the identical pair set."""
+    from ballet_spark.operators.components import connected_components
+    from ballet_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, max_df=1000
+    )
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def url_parse_docs(spark, sf_dir):
+    """URL parsing kernels (host / www-stripped domain / path depth /
+    query param / scheme) over deterministic per-doc URLs — all pure
+    JVM parse_url/regex expressions that fuse into the scan stage.
+    The oracle rebuilds the same URLs and extracts with regexes."""
+    from ballet_spark.functions.url import (
+        is_https,
+        path_depth,
+        registrable_domain,
+        url_host,
+        url_query_param,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("http://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.col("lang"),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q="),
+            F.col("n_chars").cast("string"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        registrable_domain(F.col("url")).alias("domain"),
+        path_depth(F.col("url")).alias("depth"),
+        url_query_param(F.col("url"), "q").alias("q"),
+        is_https(F.col("url")).alias("https"),
+    )
+
+
+def hash_split_docs(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10) on
+    doc_id — a pure map-side md5-bucket expression: no shuffle, no
+    sampler state, identical assignment on every engine and rerun
+    (the splitting discipline for append-only 100 TB corpora). The
+    oracle recomputes the same md5 bucket in SQL."""
+    from ballet_spark.plans.splits import hash_split
+
+    out = hash_split(_t(spark, sf_dir, "documents"), key="doc_id")
+    return out.select("doc_id", "split")
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf = count/len, idf =
+    ln((N+1)/(df+1)), ties term-asc): one explode + two hash aggs +
+    one term join + one per-doc top-k window — all JVM expressions,
+    every shuffle linear in token volume."""
+    from ballet_spark.functions.text import tf_idf_top_terms
+
+    out = tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "rank",
+        F.round("tf_idf", 4).alias("tf_idf"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1075,6 +1159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs_customer_orders": dfs_customer_orders,
         "ts_features_user": ts_features_user,
         "iterative_impute_value": iterative_impute_value,
+        "dedup_components": dedup_components,
+        "url_parse_docs": url_parse_docs,
+        "hash_split_docs": hash_split_docs,
+        "tfidf_top_terms": tfidf_top_terms,
     }
 
 
@@ -1727,5 +1815,89 @@ def _generated_oracles() -> dict[str, str]:
         SELECT b.event_id,
                round(coalesce(b.v, imp.vi), 4) AS v_imp
         FROM base b LEFT JOIN imp ON imp.event_id = b.event_id
+    """
+
+    out["dedup_components"] = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        docs AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS grams
+            FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, len(grams) AS n FROM docs),
+        ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+        hot AS (SELECT gram FROM ex0 GROUP BY gram HAVING count(*) > 1000),
+        ex AS (SELECT * FROM ex0 ANTI JOIN hot USING (gram)),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.1),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT DISTINCT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a AS id, p.r
+            FROM reach p JOIN edges e ON e.b = p.id)
+        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """
+
+    out["url_parse_docs"] = """
+        WITH u AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                   || source || '.example.org/' || lang || '/p/'
+                   || doc_id::VARCHAR || '?q=' || n_chars::VARCHAR AS url
+            FROM documents)
+        SELECT doc_id,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                              '^www\\.', '') AS domain,
+               len(list_filter(
+                   string_split(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+                   x -> x <> '')) AS depth,
+               regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q,
+               (CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS https
+        FROM u
+    """
+
+    out["hash_split_docs"] = """
+        WITH b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100
+                       AS bucket
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+
+    out["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        dt AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(cnt) AS len FROM dt GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+            SELECT dt.doc_id, dt.term,
+                   (cnt::DOUBLE / len) * ln((n + 1.0) / (df + 1.0)) AS tf_idf
+            FROM dt JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, rank, round(tf_idf, 4) AS tf_idf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tf_idf DESC, term ASC) AS rank
+              FROM scored)
+        WHERE rank <= 3
     """
     return out

@@ -202,3 +202,55 @@ def rolling_fingerprint_col(text: Column, k: int = 8) -> Column:
         return rolling_fingerprint_pdf(s, k=k)
 
     return F.pandas_udf(_udf, "long")(text)
+
+
+def tf_idf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_token_len: int = 1,
+):
+    """Top-k TF-IDF terms per document over whitespace tokens.
+
+    The corpus-statistics kernel of quality filtering / topic slicing:
+    tf = term count / document token count, idf = ln((N+1)/(df+1)) with
+    N = corpus size, df = number of documents containing the term.
+    Returns (id, term, rank, tf_idf) with deterministic ties (score
+    desc, term asc).
+
+    Scale shape: one explode + two hash aggregations (per-(doc,term)
+    counts, per-term doc frequencies), one join on the term key, one
+    top-k window partitioned by document — every shuffle linear in
+    token volume. df table is corpus-wide but ≤ vocabulary size; Spark
+    broadcasts it when small, shuffles on term otherwise (AQE decides).
+    Everything is JVM-side (split/explode/agg) — no Python in the path.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") >= min_token_len)
+    n_docs = df.count()
+    doc_term = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = doc_term.groupBy("id").agg(F.sum("cnt").alias("len"))
+    dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        doc_term.join(doc_len, "id")
+        .join(dfreq, "term")
+        .select(
+            "id",
+            "term",
+            (
+                (F.col("cnt").cast("double") / F.col("len"))
+                * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + F.lit(1.0)))
+            ).alias("tf_idf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "rank", "tf_idf")
+    )

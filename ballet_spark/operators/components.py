@@ -1,0 +1,109 @@
+"""Connected components over near-duplicate pair graphs.
+
+The canonical follow-up to every pair-producing dedup operator
+(exact/ngram/MinHash/SimHash/embedding): pairs are edges, and the
+training-data pipeline needs each document mapped to ONE canonical
+representative (the minimum id of its duplicate cluster) so the corpus
+can be filtered to one row per cluster.
+
+No reference analog (ballet has no dedup); required by the task brief's
+dedup family as the "resolve pairs to clusters" step.
+
+Scale design: iterative min-label propagation expressed as DataFrame
+joins — each round is one equi-join plus one groupBy (both linear,
+shuffle on node id), and the number of rounds is the graph diameter.
+Near-dup graphs are unions of small dense cliques (diameter 1-3 in
+practice), so the loop converges in a handful of rounds; ``max_iter``
+bounds adversarial chains. Each round persists its label table and
+truncates lineage so the plan does not grow superlinearly — the loop
+is driver-coordinated but every data operation is distributed (the
+only collect is a 1-row convergence count, which Spark cannot express
+declaratively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Map every node of the pair graph to its component's minimum id.
+
+    Returns (id, component): one row per distinct node appearing in
+    ``pairs``; ``component`` is the smallest node id reachable through
+    any chain of pairs (including the node itself).
+
+    Min-label propagation: labels start as each node's own id; every
+    round replaces a node's label with the minimum label among itself
+    and its neighbors. A label decreases monotonically and the minimum
+    of a component spreads one hop per round, so the loop converges in
+    at most ``diameter`` rounds and the fixpoint is exact (not
+    approximate) — convergence is detected by counting changed labels.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetric closure: propagate along both directions of each pair
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # localCheckpoint (not just persist): each round's labels feed the
+    # next round's plan, so without truncation Catalyst re-optimizes a
+    # join tree that deepens every iteration — analysis time grows
+    # superlinearly and dominates past ~8 rounds. Checkpointing cuts
+    # the lineage to the materialized blocks (same contract GraphX and
+    # every iterative-on-Spark algorithm uses).
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # candidate label for node a: min over neighbors' current labels
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .select(F.col("a").alias("id"), "component")
+        )
+        new_labels = (
+            nbr.union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("id", "component")
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Filter a corpus to one representative row per duplicate cluster.
+
+    Documents appearing in ``pairs`` keep only the minimum-id member of
+    their connected component; documents in no pair pass through
+    untouched (left-anti join against the non-canonical set — the big
+    side is never shuffled beyond that one equi-join)."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -26,3 +26,38 @@ def train_val_split(
         df.filter(F.col(time_col) <= F.lit(t_split)),
         df.filter(F.col(time_col) > F.lit(t_split)),
     )
+
+
+def hash_bucket(key, n_buckets: int = 100, salt: str = "") -> "F.Column":
+    """Deterministic [0, n_buckets) bucket from md5 of the key's string
+    form (first 8 hex digits → int). Engine-agnostic — DuckDB/Trino/BQ
+    reproduce it exactly — and stable under repartitioning, appends and
+    backfills, unlike random splits."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string") if isinstance(key, str) else key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test label by hashing
+    its key column — the splitting discipline for 100 TB training data:
+    a pure map-side expression (no shuffle, no sampling state), the
+    same row lands in the same split on every engine and every rerun,
+    and new rows join splits in the configured proportions. ``weights``
+    maps label → percentage (must sum to 100); default 80/10/10."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    b = hash_bucket(key, 100, salt)
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = b < F.lit(lo + w)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+        lo += w
+    return df.withColumn(out_col, expr)
