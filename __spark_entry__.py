@@ -1103,6 +1103,40 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+def percentile_stats(spark, sf_dir):
+    """Exact interpolated percentiles (median / p95) of doc length per
+    language — one hash agg with partial aggregation. At 100 TB the
+    same query swaps `percentile` for `approx_percentile` (t-digest
+    sketch, mergeable map-side); the exact form is kept here because
+    the oracle can verify it bit-for-bit (both engines use linear
+    interpolation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+    )
+
+
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sample: the 10 docs per language with
+    the smallest md5(doc_id) — balanced downsampling whose membership
+    is reproducible on any engine and stable under reshuffling (vs
+    rand()-based sampling). Exact-N per stratum costs one per-group
+    top-k window; the map-only scale path for constant-FRACTION
+    sampling is `hash_bucket(key) < pct` (plans/splits.py) with no
+    shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "lang", "rk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1163,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse_docs": url_parse_docs,
         "hash_split_docs": hash_split_docs,
         "tfidf_top_terms": tfidf_top_terms,
+        "percentile_stats": percentile_stats,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -1899,5 +1935,21 @@ def _generated_oracles() -> dict[str, str]:
                   ORDER BY tf_idf DESC, term ASC) AS rank
               FROM scored)
         WHERE rank <= 3
+    """
+
+    out["percentile_stats"] = """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+               round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        FROM documents GROUP BY lang
+    """
+
+    out["stratified_sample_docs"] = """
+        SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk
+            FROM documents)
+        WHERE rk <= 10
     """
     return out

@@ -147,3 +147,24 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_dedup(
+    events: DataFrame,
+    content_col: str = "text",
+    time_col: str = "warc_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first row seen per content
+    hash, with state pruned by the watermark (a duplicate arriving more
+    than ``watermark`` after its original is treated as new — the
+    bounded-state compromise every streaming dedup makes; the batch
+    :func:`ballet_spark.operators.dedup.exact_dedup` is the exact
+    full-corpus pass). Hash state is one 32-byte md5 per distinct
+    document within the watermark horizon, partitioned by hash —
+    scales horizontally with executors."""
+    return (
+        events.withColumn("content_md5", F.md5(F.col(content_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )

@@ -161,3 +161,37 @@ def test_tfidf_tie_broken_by_term_asc(spark):
     )
     out = tf_idf_top_terms(docs, k=2).filter(F.col("id") == 0).collect()
     assert [r["term"] for r in sorted(out, key=lambda r: r["rank"])] == ["a", "b"]
+
+
+def test_components_random_graphs_match_union_find(spark):
+    """Randomized (seeded) graphs vs a pure-Python union-find oracle."""
+    import random
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        exp = union_find_components(edges, nodes)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(_pairs(spark, edges)).collect()
+        }
+        assert got == exp, f"seed {seed}"

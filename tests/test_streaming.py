@@ -115,3 +115,19 @@ def test_stream_running_features_state(spark, stream_source, webtext_pdf):
         got.set_index("url")["mean_value"].sort_index().to_numpy(float),
         exp_mean.sort_index().to_numpy(float),
     )
+
+
+def test_stream_dedup_first_seen_per_content(spark, stream_source):
+    from ballet_spark.streaming.stream_features import stream_dedup
+
+    stream_df, batch_df = stream_source
+    out = stream_dedup(stream_df, watermark="365 days")
+    run_stream_to_memory(out, "dedup_sink", "append")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT content_md5) AS d "
+        "FROM dedup_sink WHERE url <> '__sentinel__'"
+    ).collect()[0]
+    # one row per distinct content hash, no hash emitted twice
+    assert got["n"] == got["d"]
+    exp = batch_df.select(F.md5("text")).distinct().count()
+    assert got["n"] == exp
