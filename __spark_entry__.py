@@ -1020,17 +1020,24 @@ def iterative_impute_value(spark, sf_dir):
 
 
 def dedup_components(spark, sf_dir):
-    """Near-duplicate clusters: 3-gram Jaccard pairs ≥ 0.1 resolved to
-    connected components (every clustered doc → the min doc_id of its
-    cluster) — the pairs→canonical-representative step every dedup
-    pipeline ends with. Iterative min-label propagation, one join+agg
-    per round, rounds = graph diameter. Oracle: recursive-CTE
-    transitive closure over the identical pair set."""
+    """Near-duplicate clusters: MinHash+LSH candidate pairs, exact-
+    verified at Jaccard ≥ 0.8, resolved to connected components (every
+    clustered doc → the min doc_id of its cluster) — the full
+    pairs→canonical-representative pipeline every dedup run ends with,
+    with the LINEAR candidate generator feeding the cluster step (the
+    exact all-shared-gram self-join would do the same pairs at
+    quadratic hot-gram cost). Min-label propagation with pointer
+    jumping: one Spark job per round, O(log diameter) rounds. Oracle:
+    recursive-CTE transitive closure over the exact Jaccard ≥ 0.8 pair
+    set (same equivalence argument as `minhash_lsh_dups`: at this
+    corpus's similarity profile LSH misses ~5e-8 of qualifying
+    pairs)."""
     from ballet_spark.operators.components import connected_components
-    from ballet_spark.operators.dedup import ngram_jaccard_pairs
+    from ballet_spark.operators.dedup import minhash_lsh_pairs
 
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, max_df=1000
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=64, bands=16, threshold=0.8, shingle_n=3,
     )
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "component")
@@ -1862,9 +1869,7 @@ def _generated_oracles() -> dict[str, str]:
                                   for i in range(1, len(w) - 1)]) AS grams
             FROM toks WHERE len(w) >= 3),
         sizes AS (SELECT doc_id, len(grams) AS n FROM docs),
-        ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
-        hot AS (SELECT gram FROM ex0 GROUP BY gram HAVING count(*) > 1000),
-        ex AS (SELECT * FROM ex0 ANTI JOIN hot USING (gram)),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
         shared AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
             FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -1873,7 +1878,7 @@ def _generated_oracles() -> dict[str, str]:
             SELECT id_a, id_b FROM shared
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.1),
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8),
         edges AS (
             SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),

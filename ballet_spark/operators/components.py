@@ -46,9 +46,14 @@ def connected_components(
     at most ``diameter`` rounds and the fixpoint is exact (not
     approximate) — convergence is detected by counting changed labels.
     """
-    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the pair set ONCE before symmetrizing: the union
+    # references it twice, and pair producers (LSH verify joins) are
+    # far too expensive to recompute per reference
+    pairs = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     # symmetric closure: propagate along both directions of each pair
-    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # localCheckpoint (not just persist): each round's labels feed the
     # next round's plan, so without truncation Catalyst re-optimizes a
     # join tree that deepens every iteration — analysis time grows
@@ -70,11 +75,28 @@ def connected_components(
             edges.join(labels, edges["b"] == labels["id"])
             .select(F.col("a").alias("id"), "component")
         )
-        new_labels = (
+        hop = (
             nbr.union(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+        )
+        # pointer jumping (path halving): follow the label's own label,
+        # so the effective propagation distance doubles per round and
+        # convergence is O(log diameter) instead of O(diameter)
+        tgt = hop.select(
+            F.col("id").alias("t_id"), F.col("component").alias("t_comp")
+        )
+        new_labels = (
+            hop.join(tgt, hop["component"] == tgt["t_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("t_comp", "component")
+                ).alias("component"),
+            )
+            # lazy checkpoint: the convergence count below materializes
+            # it, so each round costs ONE Spark job, not two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

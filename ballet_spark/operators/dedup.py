@@ -114,8 +114,10 @@ def ngram_jaccard_pairs(
     """
     # gram HASHES, not gram strings: set arithmetic (sizes, shared
     # counts) is identical up to 2^-64 collisions, and the self-join
-    # shuffles 8-byte ints instead of ~30-byte strings
-    docs = gram_hashes(df, id_col, text_col, n)
+    # shuffles 8-byte ints instead of ~30-byte strings. Persist: the
+    # hash arrays feed sizes + BOTH self-join sides (4 plan references)
+    # — without it the tokenize+hash kernel runs once per reference.
+    docs = gram_hashes(df, id_col, text_col, n).persist()
     sizes = docs.select("id", F.size("hs").alias("n_grams"))
 
     exploded = docs.select("id", F.explode("hs").alias("gram"))

@@ -164,6 +164,8 @@ def headline_queries(spark, sf_dir):
         "embedding_lsh_topk",
         "dfs_customer_orders",
         "ts_features_user",
+        "dedup_components",
+        "tfidf_top_terms",
     ]
     qs = entry.queries()
     out = {}
