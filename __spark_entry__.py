@@ -1110,6 +1110,27 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN top-5: deterministic md5-seeded k-means (16 lists, 3
+    Lloyd rounds, sampled fit), queries probe their 8 nearest lists,
+    exact cosine re-rank of candidates only. NO SQL oracle by design:
+    the centroid averages are floating-point sums whose per-partition
+    order is engine-specific, so near-boundary assignments (and hence
+    candidate sets) cannot be reproduced bit-stably in a second engine
+    — correctness is instead pytest-oracled (recall@5 vs exact
+    cosine_topk, fit determinism across repartitionings, exactness of
+    re-ranked cosines; tests/test_similarity_recall.py)."""
+    from ballet_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = ivf_fit(emb, n_centroids=16, n_iter=3)
+    out = ivf_topk(emb, q, cents, k=5, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1206,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "percentile_stats": percentile_stats,
         "stratified_sample_docs": stratified_sample_docs,
+        "embedding_ivf_topk": embedding_ivf_topk,
     }
 
 

@@ -260,3 +260,155 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed bucket search
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+) -> "np.ndarray":
+    """Fit IVF centroids with Lloyd's k-means, fully deterministic:
+    seeds are the ``n_centroids`` corpus vectors with the smallest
+    md5(id) (a fixed pseudo-random-but-reproducible draw), then
+    ``n_iter`` rounds of assign (ONE numpy matmul per Arrow batch
+    against broadcast centroids) + per-cluster mean (one hash agg on
+    64 running sums — partial aggregation, no row movement beyond the
+    k×dim partials). The fit samples at most ``sample_limit`` vectors
+    (hash-ordered, deterministic) — centroid quality needs a sample,
+    not the corpus, so fit cost is O(sample) regardless of corpus
+    size; ASSIGNMENT (ivf_assign) streams the full corpus once."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(int(sample_limit))
+    ).persist()
+    cents = np.stack(
+        [r["v"] for r in seed_rows.limit(n_centroids).collect()]
+    ).astype("float64")
+
+    for _ in range(n_iter):
+        assigned = seed_rows.withColumn("c", _assign_udf(cents)(F.col("v")))
+        sums = (
+            assigned.select(
+                "c",
+                F.lit(1).alias("n"),
+                *[F.element_at("v", i + 1).cast("double").alias(f"x{i}")
+                  for i in range(cents.shape[1])],
+            )
+            .groupBy("c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"x{i}").alias(f"x{i}") for i in range(cents.shape[1])],
+            )
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in sums:
+            new[r["c"]] = np.array(
+                [r[f"x{i}"] for i in range(cents.shape[1])]
+            ) / float(r["n"])
+        cents = new
+    seed_rows.unpersist()
+    return cents
+
+
+def _assign_udf(cents):
+    """Nearest-centroid id by squared L2 — one numpy matmul per batch."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    c_sq = (C * C).sum(axis=1)
+
+    def _kernel(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+        d = c_sq[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return F.pandas_udf(_kernel, "int")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Tag each corpus row with its nearest centroid (the IVF list id).
+    One scan, no shuffle — at 100 TB this column becomes the partition
+    key of the materialized index."""
+    return corpus.withColumn(out_col, _assign_udf(cents)(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN search: each query probes its ``n_probe`` nearest
+    centroid lists and exact-cosine re-ranks only those candidates.
+
+    Scale shape: corpus is scanned once to tag centroid ids (or read
+    pre-assigned/pre-partitioned), the (query, probed centroid) table
+    is tiny and BROADCAST, so candidates = one broadcast-hash join +
+    re-rank — no corpus shuffle. Recall is tuned by ``n_probe``
+    (candidates ≈ corpus · n_probe / n_centroids)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
+    d = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
+    probes = np.argsort(d, axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, row in zip(q_pdf["query_id"], probes)
+        for c in row
+    ]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, centroid_id int")
+
+    tagged = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        C,
+        vec_col="cv",
+    )
+    cand = tagged.join(F.broadcast(probe_df), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+        ),
+        "query_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -91,6 +91,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed tables (saveAsTable/bucketBy) land here instead of
+        # ./spark-warehouse in the caller's cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "ballet_spark_warehouse"),
+            ),
+        )
     )
     local_dir = _default_local_dir()
     if local_dir:

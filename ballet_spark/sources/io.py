@@ -75,3 +75,33 @@ def cached(key: str, df: DataFrame) -> DataFrame:
     if key not in _CACHE:
         _CACHE[key] = df.persist()
     return _CACHE[key]
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table: rows are hash-partitioned into
+    ``n_buckets`` files per partition by ``bucket_cols`` at write time,
+    so every later join or aggregation on those columns reads
+    co-located data and Catalyst elides the shuffle entirely (zero
+    Exchange in the plan — asserted by tests/test_plan_shapes.py).
+    ``sort_cols`` additionally sorts within buckets, eliding the Sort
+    of a sort-merge join. This is THE preparation step for repeated
+    100 TB joins on a stable key (entity=url): pay one shuffle at
+    write, never again at read."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+def load_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (a plain
+    ``read.parquet`` of the files would lose the distribution info and
+    reintroduce shuffles)."""
+    return spark.table(name)

@@ -190,3 +190,85 @@ def test_lsh_neardup_join_is_bucket_equikey(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "tbl" in plan and "bucket" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, pages_parquet):
+    """Two tables bucketed on the join key sort-merge-join with ZERO
+    Exchange (the write-once-shuffle-never contract of save_bucketed)."""
+    from ballet_spark.sources.io import load_bucketed, save_bucketed
+
+    pages = spark.read.parquet(pages_parquet)
+    left = pages.select("url", "warc_ts", F.length("text").alias("text_len"))
+    right = pages.groupBy("url").agg(F.count(F.lit(1)).alias("n_snaps"))
+    save_bucketed(left, "bk_left", ["url"], n_buckets=8, sort_cols=["url"])
+    save_bucketed(right, "bk_right", ["url"], n_buckets=8, sort_cols=["url"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = load_bucketed(spark, "bk_left").join(
+                load_bucketed(spark, "bk_right"), "url"
+            )
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # bucket metadata also elides the agg shuffle on the key
+            agg = load_bucketed(spark, "bk_left").groupBy("url").count()
+            assert "Exchange" not in _plan(agg)
+            assert j.count() == left.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_hash_split_and_url_parse_are_shuffle_free(spark, pages_parquet):
+    """hash_split and the URL kernels are pure map-side projections —
+    no Exchange, no Python eval nodes."""
+    from ballet_spark.functions.url import path_depth, registrable_domain, url_host
+    from ballet_spark.plans.splits import hash_split
+
+    pages = spark.read.parquet(pages_parquet)
+    out = hash_split(pages, "url").select(
+        "url",
+        "split",
+        url_host(F.col("url")).alias("host"),
+        registrable_domain(F.col("url")).alias("dom"),
+        path_depth(F.col("url")).alias("depth"),
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_tfidf_plan_is_jvm_only(spark, pages_parquet):
+    """TF-IDF never leaves the JVM: no Python eval nodes anywhere in
+    the executed plan (explode/agg/join/window only)."""
+    from ballet_spark.functions.text import tf_idf_top_terms
+
+    pages = spark.read.parquet(pages_parquet).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    plan = _plan(tf_idf_top_terms(pages, id_col="doc_id", k=2))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    """IVF candidate generation = broadcast join of the tiny
+    (query, probed-centroid) table against the tagged corpus — the
+    corpus is never shuffled."""
+    import numpy as np
+
+    from ballet_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = rng.standard_normal((4, 8))
+    q = df.filter(F.col("vec_id") < 3)
+    plan = _plan(ivf_topk(df, q, cents, k=3, n_probe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

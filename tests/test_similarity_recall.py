@@ -73,3 +73,47 @@ def test_no_allpairs_default_plan(spark):
     plan = embedding_neardup_pairs(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF on the fixture: deterministic fit, recall@5 ≥ 0.7 at
+    n_probe=8/16 (the fixture's clusters are loose, so half the lists
+    must be probed — the documented IVF recall knob)."""
+    from ballet_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = ivf_fit(emb, n_centroids=16, n_iter=3)
+    cents2 = ivf_fit(emb.repartition(13), n_centroids=16, n_iter=3)
+    assert np.allclose(cents, cents2)  # md5-seeded fit, partition-stable
+
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(emb, q, cents, k=5, n_probe=8).toPandas()
+    es = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    got = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(es & got) / len(es) >= 0.7
+    # reported cosines are exact (re-rank is exact; IVF only prunes)
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"])
+
+
+def test_ivf_topk_tight_clusters_high_recall(spark):
+    """Planted tight clusters (IVF's design regime): 10 centers, small
+    noise → recall@5 ≈ 1 with 2 probes of 10 lists."""
+    from ballet_spark.operators.similarity import ivf_fit, ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64)) * 5.0
+    rows = []
+    for i in range(500):
+        c = i % 10
+        v = centers[c] + rng.standard_normal(64) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 15)
+    cents = ivf_fit(df, n_centroids=10, n_iter=4)
+    exact = cosine_topk(df, q, k=5).toPandas()
+    approx = ivf_topk(df, q, cents, k=5, n_probe=2).toPandas()
+    es = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    got = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(es & got) / len(es) >= 0.95
