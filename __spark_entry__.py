@@ -1131,6 +1131,31 @@ def embedding_ivf_topk(spark, sf_dir):
     )
 
 
+def curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation, engine ops composed: quality
+    score (JVM expr, fused into the scan) → quality gate ≥ 0.35 →
+    exact dedup to the min-id canonical per distinct text (one hash
+    agg + one semi-join) → deterministic md5 train/val/test split
+    (map-side) → per-(lang, split) corpus stats. Every stage is the
+    shipped operator, not a reimplementation; the oracle replays the
+    pipeline in SQL."""
+    from ballet_spark.functions.text import quality_score
+    from ballet_spark.operators.dedup import exact_dedup
+    from ballet_spark.plans.splits import hash_split
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    gated = docs.filter(F.col("quality") >= 0.35)
+    keep = exact_dedup(gated, "doc_id", "text").select("doc_id")
+    canon = gated.join(keep, "doc_id", "semi")
+    split = hash_split(canon, "doc_id")
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1228,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": percentile_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "embedding_ivf_topk": embedding_ivf_topk,
+        "curation_pipeline": curation_pipeline,
     }
 
 
@@ -1969,6 +1995,31 @@ def _generated_oracles() -> dict[str, str]:
                round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
                round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
         FROM documents GROUP BY lang
+    """
+
+    out["curation_pipeline"] = """
+        WITH q AS (
+            SELECT doc_id, lang, text,
+                   least(length(text) / 500.0, 1.0) * (1.0 - least(
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                           / length(text)::DOUBLE
+                       + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                           / length(text)::DOUBLE, 1.0)) AS quality
+            FROM documents),
+        gated AS (SELECT * FROM q WHERE round(quality, 6) >= 0.35),
+        keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+        canon AS (SELECT gated.* FROM gated SEMI JOIN keep USING (doc_id)),
+        split AS (
+            SELECT *,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 80
+                            THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 90
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM canon)
+        SELECT lang, split, count(*) AS n_docs,
+               round(avg(round(quality, 6)), 4) AS avg_quality
+        FROM split GROUP BY lang, split
     """
 
     out["stratified_sample_docs"] = """
