@@ -1076,9 +1076,9 @@ def url_parse_docs(spark, sf_dir):
         "doc_id",
         url_host(F.col("url")).alias("host"),
         registrable_domain(F.col("url")).alias("domain"),
-        path_depth(F.col("url")).alias("depth"),
+        path_depth(F.col("url")).cast("bigint").alias("depth"),
         url_query_param(F.col("url"), "q").alias("q"),
-        is_https(F.col("url")).alias("https"),
+        is_https(F.col("url")).cast("bigint").alias("https"),
     )
 
 
@@ -1105,7 +1105,7 @@ def tfidf_top_terms(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"),
         "term",
-        "rank",
+        F.col("rank").cast("bigint").alias("rank"),
         F.round("tf_idf", 4).alias("tf_idf"),
     )
 
@@ -1184,7 +1184,7 @@ def stratified_sample_docs(spark, sf_dir):
         F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
     )
     return (
-        docs.withColumn("rk", F.row_number().over(w))
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 10)
         .select("doc_id", "lang", "rk")
     )
@@ -1954,7 +1954,7 @@ def _generated_oracles() -> dict[str, str]:
                    string_split(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
                    x -> x <> '')) AS depth,
                regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q,
-               (CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS https
+               (CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)::BIGINT AS https
         FROM u
     """
 
