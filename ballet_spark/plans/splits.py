@@ -32,8 +32,12 @@ def hash_bucket(key, n_buckets: int = 100, salt: str = "") -> "F.Column":
     """Deterministic [0, n_buckets) bucket from md5 of the key's string
     form (first 8 hex digits → int). Engine-agnostic — DuckDB/Trino/BQ
     reproduce it exactly — and stable under repartitioning, appends and
-    backfills, unlike random splits."""
-    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string") if isinstance(key, str) else key.cast("string")))
+    backfills, unlike random splits. NULL keys hash as the empty string
+    (one deterministic bucket) instead of propagating NULL — a split
+    column must cover every row or null-keyed rows silently vanish
+    from all splits."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), F.coalesce(col.cast("string"), F.lit(""))))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
 
 

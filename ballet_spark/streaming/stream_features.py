@@ -168,3 +168,30 @@ def stream_dedup(
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "url",
+    left_ts: str = "warc_ts",
+    right_ts: str = "event_ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row matches
+    right rows with the same key whose timestamp falls in
+    ``[left_ts + lower, left_ts + upper]``. Both sides carry a
+    watermark, so join state is bounded and pruned by event time — the
+    streaming analog of the batch range join (query
+    `range_join_next_hour`). State is partitioned by the join key and
+    scales with executors."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + {upper}"))
+    )
+    return l.join(r, cond)

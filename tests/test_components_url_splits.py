@@ -195,3 +195,9 @@ def test_components_random_graphs_match_union_find(spark):
             for r in connected_components(_pairs(spark, edges)).collect()
         }
         assert got == exp, f"seed {seed}"
+
+
+def test_hash_split_null_keys_get_a_split(spark):
+    docs = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    rows = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    assert rows[None] in {"train", "val", "test"}  # never NULL

@@ -131,3 +131,40 @@ def test_stream_dedup_first_seen_per_content(spark, stream_source):
     assert got["n"] == got["d"]
     exp = batch_df.select(F.md5("text")).distinct().count()
     assert got["n"] == exp
+
+
+def test_stream_interval_join_matches_batch(spark, stream_source, tmp_path):
+    """Stream-stream interval join produces exactly the batch range
+    join's row set (same key, right ts within (0, 1h] of left ts)."""
+    from ballet_spark.streaming.stream_features import stream_interval_join
+
+    stream_df, batch_df = stream_source
+    # right side: the same pages shifted 30 min — every page matches its
+    # own future snapshots within the hour
+    right_path = str(tmp_path / "right")
+    batch_df.select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 30 MINUTES")).alias("event_ts"),
+        F.col("text_len").alias("v"),
+    ).write.mode("overwrite").parquet(right_path)
+    schema = spark.read.parquet(right_path).schema
+    right_stream = spark.readStream.schema(schema).parquet(right_path)
+
+    out = stream_interval_join(
+        stream_df.select("url", "warc_ts"),
+        right_stream,
+        watermark="365 days",
+    ).select("l.url", "l.warc_ts", "r.event_ts")
+    run_stream_to_memory(out, "ij_sink", "append")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM ij_sink WHERE url <> '__sentinel__'"
+    ).collect()[0]["n"]
+
+    l, r = batch_df.alias("lb"), spark.read.parquet(right_path).alias("rb")
+    exp = l.join(
+        r,
+        (F.col("lb.url") == F.col("rb.url"))
+        & (F.col("rb.event_ts") >= F.col("lb.warc_ts"))
+        & (F.col("rb.event_ts") <= F.expr("lb.warc_ts + INTERVAL 1 HOUR")),
+    ).count()
+    assert got == exp and got > 0
