@@ -219,34 +219,42 @@ def tf_idf_top_terms(
     Returns (id, term, rank, tf_idf) with deterministic ties (score
     desc, term asc).
 
-    Scale shape: one explode + two hash aggregations (per-(doc,term)
-    counts, per-term doc frequencies), one join on the term key, one
-    top-k window partitioned by document — every shuffle linear in
-    token volume. df table is corpus-wide but ≤ vocabulary size; Spark
-    broadcasts it when small, shuffles on term otherwise (AQE decides).
-    Everything is JVM-side (split/explode/agg) — no Python in the path.
+    Scale shape: the document token count (tf's denominator) is
+    computed AT THE SCAN as `size()` of the kept-token array — zero
+    shuffle — and rides the explode as a constant-per-doc grouping
+    column, so the whole query is one explode + two hash aggregations
+    (per-(doc,term) counts, per-term doc frequencies), one join on the
+    term key, and one top-k window per document — every shuffle linear
+    in token volume. The df table is corpus-wide but ≤ vocabulary
+    size; Spark broadcasts it when small, shuffles on term otherwise
+    (AQE decides). Everything is JVM-side (split/explode/agg) — no
+    Python in the path.
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    tk = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-    ).filter(F.length("term") >= min_token_len)
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
+    ).select(
+        "id",
+        F.size(F.filter(F.col("tk"), lambda t: F.length(t) >= min_token_len)).alias(
+            "len"
+        ),
+        F.col("tk"),
+    )
+    toks = tk.select("id", "len", F.explode("tk").alias("term")).filter(
+        F.length("term") >= min_token_len
+    )
     n_docs = df.count()
-    doc_term = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    doc_len = doc_term.groupBy("id").agg(F.sum("cnt").alias("len"))
+    doc_term = toks.groupBy("id", "len", "term").agg(F.count(F.lit(1)).alias("cnt"))
     dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        doc_term.join(doc_len, "id")
-        .join(dfreq, "term")
-        .select(
-            "id",
-            "term",
-            (
-                (F.col("cnt").cast("double") / F.col("len"))
-                * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + F.lit(1.0)))
-            ).alias("tf_idf"),
-        )
+    scored = doc_term.join(dfreq, "term").select(
+        "id",
+        "term",
+        (
+            (F.col("cnt").cast("double") / F.col("len"))
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + F.lit(1.0)))
+        ).alias("tf_idf"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("tf_idf"), F.asc("term"))
     return (
