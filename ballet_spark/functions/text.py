@@ -245,15 +245,18 @@ def tf_idf_top_terms(
     toks = tk.select("id", "len", F.explode("tk").alias("term")).filter(
         F.length("term") >= min_token_len
     )
-    n_docs = df.count()
+    # corpus size joins the DAG as a broadcast 1-row aggregate instead
+    # of an eager driver-side count() — the function stays lazy and the
+    # corpus is scanned only when the result is acted on
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     doc_term = toks.groupBy("id", "len", "term").agg(F.count(F.lit(1)).alias("cnt"))
     dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = doc_term.join(dfreq, "term").select(
+    scored = doc_term.join(dfreq, "term").crossJoin(n_docs).select(
         "id",
         "term",
         (
             (F.col("cnt").cast("double") / F.col("len"))
-            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + F.lit(1.0)))
+            * F.log((F.col("__n") + 1.0) / (F.col("df") + F.lit(1.0)))
         ).alias("tf_idf"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("tf_idf"), F.asc("term"))

@@ -113,7 +113,7 @@ def ngram_jaccard_pairs(
     bound of true Jaccard for pairs whose shared hot grams were pruned.
     """
     # gram HASHES, not gram strings: set arithmetic (sizes, shared
-    # counts) is identical up to 2^-64 collisions, and the self-join
+    # counts) is identical up to 2^-63 collisions, and the self-join
     # shuffles 8-byte ints instead of ~30-byte strings. Persist: the
     # hash arrays feed sizes + BOTH self-join sides (4 plan references)
     # — without it the tokenize+hash kernel runs once per reference.
@@ -133,6 +133,11 @@ def ngram_jaccard_pairs(
         )
         exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
 
+    # eager persist: BOTH self-join sides reference the pruned explode,
+    # and a lazy cache inside one job lets the two sides race past it
+    # cold — without this the df-count aggregation + anti-join run twice
+    exploded = exploded.persist()
+    exploded.count()
     a = exploded.alias("a")
     b = exploded.alias("b")
     shared = (
@@ -170,7 +175,10 @@ def _sig_udf(num_hashes: int, seed: int):
     """Arrow-batched numpy MinHash kernel over per-doc gram-hash arrays:
     one (g × k) modular affine + min per doc — no explode, no k-way
     aggregation shuffle; each doc's signature is computed where the doc
-    lives. a,h < 2^31 ⇒ a*h+b < 2^62, exact in int64."""
+    lives. The 63-bit identity hashes are folded into the Mersenne
+    field HERE (x = h mod p), keeping the wide hash space for set
+    identity while the permutation math stays in the field:
+    a,x < 2^31 ⇒ a*x+b < 2^62, exact in int64."""
     import numpy as np
 
     coefs = _minhash_coefs(num_hashes, seed)
@@ -179,7 +187,7 @@ def _sig_udf(num_hashes: int, seed: int):
 
     def _kernel(hs: pd.Series) -> pd.Series:
         def _one(a):
-            h = np.asarray(a, dtype=np.int64)
+            h = np.asarray(a, dtype=np.int64) % MERSENNE_P
             return ((h[:, None] * A[None, :] + B[None, :]) % MERSENNE_P).min(axis=0)
 
         return hs.map(_one)
@@ -188,9 +196,14 @@ def _sig_udf(num_hashes: int, seed: int):
 
 
 def _gram_hash_udf(n: int):
-    """Tokenize → distinct word n-grams → 64-bit gram hashes (blake2b
-    first 8 bytes, folded into the Mersenne field), in ONE Arrow-batched
-    kernel with a per-batch gram memo.
+    """Tokenize → distinct word n-grams → 63-bit gram identity hashes
+    (blake2b first 8 bytes, masked to fit a non-negative int64), in ONE
+    Arrow-batched kernel with a per-batch gram memo. The wide space
+    matters: set identity (Jaccard verification, doc-frequency pruning)
+    collides at ~2^-63 per pair here, whereas folding into the 31-bit
+    Mersenne field at this stage would make birthday collisions routine
+    at web-corpus gram counts; the fold happens inside the MinHash
+    signature kernel instead, where field arithmetic is required.
 
     Why Python here: Spark's higher-order-function lambdas are
     interpreted (no whole-stage codegen) and CollapseProject inlines
@@ -212,7 +225,7 @@ def _gram_hash_udf(n: int):
                         hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
                         "big",
                     )
-                    % MERSENNE_P
+                    & ((1 << 63) - 1)
                 )
                 cache[g] = h
             return h
@@ -237,11 +250,11 @@ def gram_hashes(
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, hs) with ``hs`` = one deterministic 64-bit hash per distinct
-    word shingle, folded into the Mersenne field. ONE tokenization pass
-    — reused by signature generation AND candidate verification
-    (Jaccard on the distinct-hash arrays equals gram Jaccard up to
-    2^-64 collisions)."""
+    """(id, hs) with ``hs`` = one deterministic 63-bit hash per distinct
+    word shingle (the Mersenne-field fold happens only inside the
+    MinHash signature kernel). ONE tokenization pass — reused by
+    signature generation AND candidate verification (Jaccard on the
+    distinct-hash arrays equals gram Jaccard up to 2^-63 collisions)."""
     return (
         _spread(df)
         .select(
@@ -417,7 +430,13 @@ def simhash_dup_pairs(
     shares at least one of d+1 exact chunks)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
+    # token-less docs (NULL/empty/whitespace-only) carry no simhash
+    # signal — every pair of them would trivially collide at hamming 0.
+    # Excluding them also keeps the SQL oracle (which unnests tokens and
+    # so never sees these docs) aligned with the engine.
+    sh = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")
+    )
     banded = sh.select(
         "id",
         "sh",

@@ -298,12 +298,18 @@ class OneHotEncoder(SparkTransformer):
         self._cols = cols
         self.categories_ = {}
         for c in cols:
+            # filter NULL before the limit: Spark sorts NULL first, so a
+            # NULL would otherwise consume a limit slot and let a column
+            # with max_categories+1 real categories slip past the guard
+            # (the overflow category silently encoding as unseen)
             cats = [
                 r[0]
-                for r in df.select(c).distinct().orderBy(c).limit(
-                    self.max_categories + 1
-                ).collect()
-                if r[0] is not None
+                for r in df.select(c)
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .orderBy(c)
+                .limit(self.max_categories + 1)
+                .collect()
             ]
             if len(cats) > self.max_categories:
                 raise ValueError(
@@ -422,12 +428,18 @@ class BaseNEncoder(SparkTransformer):
         self._cols = cols
         self.categories_ = {}
         for c in cols:
+            # filter NULL before the limit: Spark sorts NULL first, so a
+            # NULL would otherwise consume a limit slot and let a column
+            # with max_categories+1 real categories slip past the guard
+            # (the overflow category silently encoding as unseen)
             cats = [
                 r[0]
-                for r in df.select(c).distinct().orderBy(c).limit(
-                    self.max_categories + 1
-                ).collect()
-                if r[0] is not None
+                for r in df.select(c)
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .orderBy(c)
+                .limit(self.max_categories + 1)
+                .collect()
             ]
             if len(cats) > self.max_categories:
                 raise ValueError(f"{c}: too many categories for BaseNEncoder")
@@ -534,12 +546,18 @@ class ContrastEncoder(SparkTransformer):
         self.categories_ = {}
         self.matrices_ = {}
         for c in cols:
+            # filter NULL before the limit: Spark sorts NULL first, so a
+            # NULL would otherwise consume a limit slot and let a column
+            # with max_categories+1 real categories slip past the guard
+            # (the overflow category silently encoding as unseen)
             cats = [
                 r[0]
-                for r in df.select(c).distinct().orderBy(c).limit(
-                    self.max_categories + 1
-                ).collect()
-                if r[0] is not None
+                for r in df.select(c)
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .orderBy(c)
+                .limit(self.max_categories + 1)
+                .collect()
             ]
             if len(cats) > self.max_categories:
                 raise ValueError(

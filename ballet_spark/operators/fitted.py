@@ -534,11 +534,15 @@ class IterativeImputer(SparkTransformer):
 
     With 2 features the normal system is solved in closed form (fixed
     operation order — a SQL oracle can replay it bit-for-bit); k>2
-    falls back to ``numpy.linalg.solve``. ``max_iter`` sweeps re-fit
-    after refreshing the working values (sklearn's round-robin); with
-    always-complete features one sweep is exact and iteration is a
-    no-op. Degenerate fits (singular system) fall back to the target
-    mean."""
+    falls back to ``numpy.linalg.solve``. Missing values are first
+    initialized to observed means (sklearn ``initial_strategy='mean'``),
+    then ``max_iter`` round-robin sweeps re-fit each target against the
+    CURRENT working values (other targets' latest imputations included;
+    a target never regresses on itself) and refresh that target's
+    working column. y is always fit on genuinely observed rows only.
+    With fully-observed features and one target the first sweep is the
+    fixed point. Degenerate fits (singular system) fall back to the
+    target mean."""
 
     def __init__(
         self,
@@ -610,26 +614,52 @@ class IterativeImputer(SparkTransformer):
         return (my, [float(x) for x in beta], m)
 
     def transform_df(self, df, cols, alias, ctx):
-        feats = list(self.feature_cols)
+        feats_all = list(self.feature_cols)
+        # working copies of every referenced column; missing values are
+        # initialized to the observed mean (sklearn initial_strategy=
+        # 'mean') so every target-observed row contributes to the fit
         cur = df
-        out_names = []
-        for i, target in enumerate(cols):
-            name = alias if len(cols) == 1 else f"{alias}_{i}"
-            pred_col = F.col(target).cast("double")
-            for _ in range(max(1, self.max_iter)):
+        work = {}
+        for c in dict.fromkeys(feats_all + list(cols)):
+            w = f"__iw_{c}"
+            work[c] = w
+            cur = cur.withColumn(w, F.col(c).cast("double"))
+        means = cur.agg(
+            *[F.avg(F.col(w)).alias(c) for c, w in work.items()]
+        ).first()
+        for c, w in work.items():
+            if means[c] is not None:
+                cur = cur.withColumn(
+                    w, F.coalesce(F.col(w), F.lit(float(means[c])))
+                )
+        # round-robin sweeps: each sweep re-fits every target against
+        # the CURRENT working values (which include the other targets'
+        # latest imputations), then refreshes that target's working
+        # column — sklearn's iteration. A target never regresses on
+        # itself. With fully-observed features and a single target the
+        # first sweep is already the fixed point.
+        for sweep in range(max(1, self.max_iter)):
+            for target in cols:
+                feats = [work[f] for f in feats_all if f != target]
+                if not feats:
+                    continue
                 fitted = self._fit_one(cur, target, feats)
                 if fitted is None:
-                    break
+                    continue
                 my, beta, m = fitted
                 pred = F.lit(my)
                 for bi, (b, c) in enumerate(zip(beta, feats)):
-                    pred = pred + F.lit(b) * (
-                        F.col(c).cast("double") - F.lit(m[bi])
-                    )
-                pred_col = F.coalesce(F.col(target).cast("double"), pred)
-            cur = cur.withColumn(name, pred_col)
+                    pred = pred + F.lit(b) * (F.col(c) - F.lit(m[bi]))
+                cur = cur.withColumn(
+                    work[target],
+                    F.coalesce(F.col(target).cast("double"), pred),
+                )
+        out_names = []
+        for i, target in enumerate(cols):
+            name = alias if len(cols) == 1 else f"{alias}_{i}"
+            cur = cur.withColumn(name, F.col(work[target]))
             out_names.append(name)
-        return cur, out_names
+        return cur.drop(*work.values()), out_names
 
 
 class ArbitraryDiscretiser(SparkTransformer):

@@ -188,8 +188,12 @@ def materialize(
         )
         metrics = obs.get
         now = float(time.time())
+        # metrics are None when the observed frame (or a unit) had zero
+        # rows — an empty unit is still COMPLETE (count 0, digest 0);
+        # without the fallback the lineage row is never written and
+        # every resume re-selects the unit and crashes again
         lineage_rows = [
-            (fset, input_snapshot, u, int(metrics[f"n_{u}"]),
+            (fset, input_snapshot, u, int(metrics[f"n_{u}"] or 0),
              fold_digest(metrics[f"d_{u}"]), now)
             for u in batch
         ]

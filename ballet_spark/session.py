@@ -51,6 +51,12 @@ def _default_local_dir() -> str | None:
     shm = "/dev/shm/spark-local"
     try:
         os.makedirs(shm, exist_ok=True)
+        st = os.statvfs(shm)
+        # a default Docker /dev/shm is 64 MB — routing shuffles there
+        # would fail with ENOSPC on the first real exchange. Require a
+        # meaningfully-sized tmpfs (≥ 8 GiB free) before opting in.
+        if st.f_bavail * st.f_frsize < 8 * (1 << 30):
+            return None
         return shm
     except OSError:
         return None

@@ -98,3 +98,38 @@ def test_iterative_imputer_degenerate_falls_back_to_mean(spark):
     out, _ = imp.transform_df(df, ["v"], "vi", ctx)
     pdf = out.orderBy("id").toPandas()
     assert pdf.loc[2, "vi"] == pytest.approx(15.0)
+
+
+def test_iterative_imputer_round_robin_sweeps_refine(spark):
+    """Two mutually-predictive columns with disjoint missingness:
+    sweep 2 must differ from sweep 1 (x's imputations feed y's refit
+    through the working values) and move toward the true linear
+    relationship y = 2x."""
+    rows = []
+    rng = np.random.default_rng(5)
+    for i in range(400):
+        x = float(rng.normal(10, 3))
+        y = 2.0 * x + float(rng.normal(0, 0.01))
+        # disjoint masks: x missing on i%10==0, y missing on i%10==1
+        rows.append(
+            (i, None if i % 10 == 0 else x, None if i % 10 == 1 else y)
+        )
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    ctx = PipelineContext(entity_col="i", time_col="i", point_in_time=False)
+
+    def run(max_iter):
+        imp = IterativeImputer(feature_cols=["x", "y"], max_iter=max_iter)
+        imp.fit(df, ["x", "y"], ctx)
+        out, names = imp.transform_df(df, ["x", "y"], "imp", ctx)
+        pdf = out.orderBy("i").toPandas()
+        return pdf
+
+    one, three = run(1), run(3)
+    # sweeps actually change the result (the old loop was a no-op)
+    assert not np.allclose(one["imp_0"], three["imp_0"])
+    # and refine it: imputed x should approach y/2 where y is observed
+    truth = one["y"].to_numpy() / 2.0
+    mask = one["x"].isna().to_numpy() & ~one["y"].isna().to_numpy()
+    err1 = np.abs(one["imp_0"].to_numpy()[mask] - truth[mask]).mean()
+    err3 = np.abs(three["imp_0"].to_numpy()[mask] - truth[mask]).mean()
+    assert err3 <= err1

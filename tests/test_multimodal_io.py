@@ -104,3 +104,15 @@ def test_encoder_pipeline_and_engineer_features(spark, webtext_df):
     assert res.X.count() == webtext_df.count()
     assert "tl" in res.X.columns
     assert res.y is not None and "y_encoded" in res.y.columns
+
+
+def test_cached_memoizes_and_persists(spark):
+    from ballet_spark.sources import io as io_mod
+
+    df1 = spark.range(100)
+    a = io_mod.cached("t_cached_key", df1)
+    b = io_mod.cached("t_cached_key", spark.range(5))  # ignored: memo hit
+    assert a is b
+    assert a.storageLevel.useMemory  # persisted
+    assert a.count() == 100
+    io_mod._CACHE.pop("t_cached_key").unpersist()
