@@ -97,9 +97,14 @@ def asof_join(
 
     probe = filled.filter(F.col("__side") == 1)
     if tolerance_s is not None:
+        # cast("double") keeps sub-second precision (fixture timestamps
+        # carry microseconds) and matches the oracle's exact epoch();
+        # unix_timestamp would floor to whole seconds and misclassify
+        # gaps near the tolerance boundary
         in_tol = (
-            F.unix_timestamp("__ts") - F.unix_timestamp("__matched_ts")
-        ) <= F.lit(tolerance_s)
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__matched_ts").cast("double")
+        ) <= F.lit(float(tolerance_s))
         probe = probe.select(
             "*",
             *[
@@ -139,33 +144,51 @@ def asof_join_broadcast(
     tolerance_s: int | None = None,
     suffix: str = "",
 ) -> DataFrame:
-    """Broadcast as-of: equi-join on entity with ``right_ts <= left_ts``,
-    keep the latest match per probe row via ``max_by``. Right side must
-    be broadcast-small; the probe side is never shuffled."""
+    """Broadcast as-of, genuinely shuffle-free on the probe side: the
+    right table collapses to ONE row per entity holding its time-sorted
+    history as an array of structs; that compact table broadcasts, and
+    each probe row picks the latest element with ``ts <= left_ts`` via
+    a pure higher-order expression — no range-join row explosion, no
+    per-probe-row re-aggregation, no exchange anywhere on the left.
+
+    Same inclusive tie semantics as :func:`asof_join` (same-instant
+    right rows match; equal-ts right rows resolve to the one that sorts
+    last, matching the window path's last-in-order). ``__matched_ts``
+    is emitted as timestamp, schema-identical to :func:`asof_join`, so
+    the skew splitter can union the two paths. NULL entity keys match
+    nothing on this path (equi-join semantics) — route them through the
+    window path, as :func:`ballet_spark.plans.skew.asof_join_skew`
+    does."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     value_cols = list(value_cols)
 
-    lk = "__lid"
-    lefted = left.select("*", F.monotonically_increasing_id().alias(lk))
-    r = right.select(
-        F.col(on).alias("__r_on"),
-        F.col(right_ts).alias("__r_ts"),
-        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+    hist = right.groupBy(F.col(on)).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(right_ts).cast("timestamp").alias("__hts"),
+                    *[F.col(v).alias(v) for v in value_cols],
+                )
+            )
+        ).alias("__hist")
     )
-    cond = (F.col(on) == F.col("__r_on")) & (F.col("__r_ts") <= F.col(left_ts))
+    joined = left.join(F.broadcast(hist), on, "left")
+    lts = F.col(left_ts).cast("timestamp")
+    elig = F.filter(F.col("__hist"), lambda s: s["__hts"] <= lts)
     if tolerance_s is not None:
-        cond = cond & (
-            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col("__r_ts"))
-            <= F.lit(tolerance_s)
+        elig = F.filter(
+            elig,
+            lambda s: (lts.cast("double") - s["__hts"].cast("double"))
+            <= F.lit(float(tolerance_s)),
         )
-    joined = lefted.join(F.broadcast(r), cond, "left")
-    agg = joined.groupBy(lk).agg(
-        *[F.first(c).alias(c) for c in left.columns],
-        *[
-            F.max_by(F.col(f"__r_{v}"), F.col("__r_ts")).alias(f"{v}{suffix}")
-            for v in value_cols
-        ],
-        F.max(F.col("__r_ts")).alias("__matched_ts"),
+    # guard the empty/NULL case explicitly: ANSI mode (Spark 4 default)
+    # makes element_at(-1) on an empty array an error, not NULL
+    m = F.when(
+        F.coalesce(F.size(elig), F.lit(0)) > 0, F.element_at(elig, -1)
     )
-    return agg.drop(lk)
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[m[v].alias(f"{v}{suffix}") for v in value_cols],
+        m["__hts"].alias("__matched_ts"),
+    )
