@@ -77,8 +77,17 @@ class PipelineContext:
 
 
 def _hash_callable(fn: Callable) -> str:
+    """Deterministic across processes: hash the callable's identity
+    (module.qualname) plus its compiled bytecode when available —
+    NEVER ``repr(fn)``, whose embedded memory address would give a
+    resumed job different auto-generated column names than the run
+    that wrote the matrix."""
     name = getattr(fn, "__name__", "selector")
-    return f"{name}_{hashlib.md5(repr(fn).encode()).hexdigest()[:6]}"
+    ident = f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', name)}"
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        ident += "|" + code.co_code.hex() + repr(code.co_consts)
+    return f"{name}_{hashlib.md5(ident.encode()).hexdigest()[:6]}"
 
 
 def desugar_transformer(spec) -> SparkTransformer:
@@ -206,7 +215,15 @@ class FeatureEngineeringPipeline:
         self.features = list(features)
         self.ctx = PipelineContext(entity_col, time_col, point_in_time)
 
-    def fit(self, train_df: DataFrame, y: DataFrame | None = None) -> FittedFeaturePipeline:
+    def fit(self, train_df: DataFrame, y: str | None = None) -> FittedFeaturePipeline:
+        """``y`` is the LABEL COLUMN NAME inside ``train_df`` (the
+        supervised encoders aggregate it distributedly; see
+        encoders.py) — not a separate label DataFrame."""
+        if y is not None and not isinstance(y, str):
+            raise TypeError(
+                "y must be the label column name (a str) present in "
+                f"train_df, got {type(y).__name__}"
+            )
         states = []
         for feat in self.features:
             cols = feat.resolve_input(train_df)
@@ -215,7 +232,7 @@ class FeatureEngineeringPipeline:
             states.append(tr)
         return FittedFeaturePipeline(self, states)
 
-    def fit_transform(self, df: DataFrame, y: DataFrame | None = None) -> DataFrame:
+    def fit_transform(self, df: DataFrame, y: str | None = None) -> DataFrame:
         return self.fit(df, y).transform(df)
 
 

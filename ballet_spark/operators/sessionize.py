@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 from ballet_spark.operators.base import SparkTransformer
 
 
+def session_id_expr(entity_col: str, time_col: str, gap_s: int):
+    """THE session-id expression — the single source of truth shared by
+    :func:`sessionize` and :class:`SessionId` so the DataFrame-level
+    and feature-column session ids can never diverge. 0-based running
+    count of session starts; exact fractional-second gap (cast
+    ts->double keeps microseconds; unix_timestamp would floor and
+    mis-classify boundary gaps). Both window functions share one
+    (partitionBy, orderBy) so Catalyst plans a single Window node."""
+    w = Window.partitionBy(entity_col).orderBy(time_col)
+    ts = F.col(time_col).cast("timestamp").cast("double")
+    is_new = F.when(ts - F.lag(ts, 1).over(w) > F.lit(gap_s), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return F.sum(is_new).over(run).cast("bigint")
+
+
 def sessionize(
     df: DataFrame,
     entity_col: str = "url",
@@ -26,18 +41,7 @@ def sessionize(
     out_col: str = "session_id",
 ) -> DataFrame:
     """Append ``out_col``: 0-based session index within the entity."""
-    w = Window.partitionBy(entity_col).orderBy(time_col)
-    # exact fractional-second gap (cast ts->double keeps microseconds;
-    # unix_timestamp would floor and mis-classify boundary gaps)
-    ts = F.col(time_col).cast("timestamp").cast("double")
-    is_new = (
-        F.when(ts - F.lag(ts, 1).over(w) > F.lit(gap_s), 1)
-        .otherwise(0)
-    )
-    run = Window.partitionBy(entity_col).orderBy(time_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return df.withColumn(out_col, F.sum(is_new).over(run).cast("bigint"))
+    return df.withColumn(out_col, session_id_expr(entity_col, time_col, gap_s))
 
 
 def session_stats(
@@ -66,8 +70,4 @@ class SessionId(SparkTransformer):
         self.gap_s = gap_s
 
     def transform_exprs(self, in_exprs, ctx):
-        w = Window.partitionBy(ctx.entity_col).orderBy(ctx.time_col)
-        ts = F.col(ctx.time_col).cast("timestamp").cast("double")
-        is_new = F.when(ts - F.lag(ts, 1).over(w) > F.lit(self.gap_s), 1).otherwise(0)
-        run = w.rowsBetween(Window.unboundedPreceding, 0)
-        return [F.sum(is_new).over(run).cast("bigint")]
+        return [session_id_expr(ctx.entity_col, ctx.time_col, self.gap_s)]

@@ -78,6 +78,11 @@ class MultiLag(SparkTransformer):
         self.lags = list(lags)
 
     def transform_exprs(self, in_exprs, ctx):
+        # lag(e, -k) IS lead(e, k): a negative offset reads future rows,
+        # so it must pass the same leakage gate as Lead
+        for k in self.lags:
+            if k < 0:
+                ctx.check_frame(-k, what=f"MultiLag({k})")
         w = entity_window(ctx)
         return [F.lag(e, k).over(w) for e in in_exprs for k in self.lags]
 
@@ -173,6 +178,8 @@ class Delta(SparkTransformer):
         self.k = k
 
     def transform_exprs(self, in_exprs, ctx):
+        if self.k < 0:
+            ctx.check_frame(-self.k, what=f"Delta({self.k})")
         w = entity_window(ctx)
         return [e - F.lag(e, self.k).over(w) for e in in_exprs]
 
@@ -229,6 +236,8 @@ class SeasonalLag(SparkTransformer):
         self.seasonal_period = seasonal_period
 
     def transform_exprs(self, in_exprs, ctx):
+        if self.seasonal_period < 0:
+            ctx.check_frame(-self.seasonal_period, what=f"SeasonalLag({self.seasonal_period})")
         w = entity_window(ctx)
         return [F.lag(e, self.seasonal_period).over(w) for e in in_exprs]
 

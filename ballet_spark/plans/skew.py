@@ -57,15 +57,36 @@ def asof_join_skew(
     value_cols: Sequence[str] | None = None,
     head: Sequence | None = None,
     top_k: int = 50,
+    max_history: int = 100_000,
 ) -> DataFrame:
     """As-of join with explicit head/tail plan split.
 
-    ``head`` (or the top-``top_k`` right-side keys by count) routes
-    through :func:`asof_join_broadcast`; the rest through the
+    ``head`` (default: the top-``top_k`` **probe-side** keys by count)
+    routes through :func:`asof_join_broadcast`; the rest through the
     union+window path. Output schema matches :func:`asof_join`.
+
+    Head keys come from the PROBE side because that is the skew being
+    fixed: a Zipf-hot url with 100M probe rows makes one giant window
+    partition on the sort-merge path, and the broadcast path removes
+    exactly that sort. What gets broadcast is those keys' right-side
+    history — so any candidate whose history exceeds ``max_history``
+    rows is kept on the window path instead (broadcasting a huge
+    history is the driver-OOM failure mode, and a big right side is
+    what the sort-merge path is already good at).
     """
     if head is None:
-        head = head_keys(right, key=on, top_k=top_k)
+        cand = head_keys(left, key=on, top_k=top_k)
+        if cand:
+            hist = (
+                right.filter(F.col(on).isin(list(cand)))
+                .groupBy(on)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            big = {r[on] for r in hist if r["n"] > max_history}
+            head = [k for k in cand if k not in big]
+        else:
+            head = []
     if not head:
         return asof_join(left, right, on, left_ts, right_ts, value_cols)
 
@@ -122,8 +143,18 @@ def skew_report(df: DataFrame, key: str = "url", top_k: int = 10) -> DataFrame:
         F.sum("n").alias("rows"), F.count(F.lit(1)).alias("keys")
     ).first()
     top = counts.orderBy(F.desc("n")).limit(top_k).agg(F.sum("n")).first()[0]
+    # empty input: sum() aggregates to NULL — report a zero row, don't
+    # crash the planner diagnostic on degenerate input
+    rows = int(total["rows"] or 0)
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(int(total["rows"]), int(total["keys"]), int(top), float(top / total["rows"]))],
+        [
+            (
+                rows,
+                int(total["keys"] or 0),
+                int(top or 0),
+                float((top or 0) / rows) if rows else 0.0,
+            )
+        ],
         "total_rows long, distinct_keys long, topk_rows long, topk_share double",
     )

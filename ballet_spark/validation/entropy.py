@@ -216,9 +216,14 @@ def shannon_entropy_spark(df, cols) -> float:
 def sample_to_numpy(df, cols, sample_n: int = DEFAULT_SAMPLE_N, seed: int = 42):
     """Bounded deterministic sample for the KSG kernels — the
     subsampling the reference left as a placeholder, made real."""
-    total = df.count()
+    # NULLs become NaN under to_numpy(float) and poison the KSG kernels
+    # (NaN Chebyshev distances -> NaN MI); the information estimators
+    # are defined over complete observations, so drop incomplete rows
+    # BEFORE sampling (keeps the sample at target size).
+    clean = df.select(*cols).na.drop()
+    total = clean.count()
     frac = min(1.0, (sample_n * 1.2) / max(total, 1))
-    pdf = df.select(*cols).sample(fraction=frac, seed=seed).limit(sample_n).toPandas()
+    pdf = clean.sample(fraction=frac, seed=seed).limit(sample_n).toPandas()
     return pdf.to_numpy(dtype=float)
 
 

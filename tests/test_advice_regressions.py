@@ -94,3 +94,105 @@ def test_digest_is_duplication_sensitive(spark, tmp_path):
     d1 = df.agg(row_digest(df).alias("d")).first()["d"]
     d2 = doubled.agg(row_digest(doubled).alias("d")).first()["d"]
     assert d1 != d2  # XOR would self-cancel; SUM must not
+
+
+# ---- round-2 code-review regressions ---------------------------------
+
+
+def test_negative_offsets_hit_leakage_guard(webtext_df):
+    """lag(e, -k) IS lead(e, k): negative offsets in MultiLag / Delta /
+    SeasonalLag must pass the same point-in-time gate as Lead."""
+    from ballet_spark.core import LeakageError
+    from ballet_spark.operators.window_ops import Delta, MultiLag, SeasonalLag
+
+    ctx = PipelineContext()  # point_in_time=True
+    for tr in (MultiLag([-1, 1]), Delta(k=-1), SeasonalLag(-7)):
+        with pytest.raises(LeakageError):
+            tr.transform_exprs([F.col("text_len")], ctx)
+    # past-only offsets still compile
+    assert MultiLag([1, 2]).transform_exprs([F.col("x")], ctx)
+
+
+def test_hash_callable_address_free(spark):
+    """Auto-generated feature names must be stable across processes:
+    two distinct function objects with identical code hash identically
+    (repr(fn) would embed each one's memory address)."""
+    from ballet_spark.core import _hash_callable
+
+    fns = [(lambda df: ["text"]) for _ in range(2)]
+    assert fns[0] is not fns[1]
+    assert _hash_callable(fns[0]) == _hash_callable(fns[1])
+
+
+def test_fit_rejects_dataframe_y(spark, webtext_df):
+    from ballet_spark.core import Feature, FeatureEngineeringPipeline
+
+    pipe = FeatureEngineeringPipeline([Feature("text_len", None)])
+    with pytest.raises(TypeError, match="label column name"):
+        pipe.fit(webtext_df, y=webtext_df)
+
+
+def test_skew_report_empty_input(spark):
+    from ballet_spark.plans.skew import skew_report
+
+    empty = spark.createDataFrame([], "url string, v double")
+    row = skew_report(empty, "url").first()
+    assert row["total_rows"] == 0
+    assert row["topk_share"] == 0.0
+
+
+def test_mi_estimator_survives_nulls(spark):
+    from ballet_spark.validation.entropy import (
+        estimate_mutual_information_spark,
+        sample_to_numpy,
+    )
+
+    rows = [(float(i), float(2 * i), None if i % 5 == 0 else float(i))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    arr = sample_to_numpy(df, ["x", "z"], sample_n=100)
+    assert not np.isnan(arr).any()
+    mi = estimate_mutual_information_spark(df, ["x"], ["z"], sample_n=100)
+    assert np.isfinite(mi) and mi > 0
+
+
+def test_session_id_feature_matches_sessionize(spark):
+    from ballet_spark.operators.sessionize import SessionId, sessionize
+
+    df = spark.createDataFrame(
+        [("u", 0.0), ("u", 10.0), ("u", 200.0), ("u", 205.0), ("v", 0.0)],
+        "url string, sec double",
+    ).select("url", F.timestamp_seconds("sec").alias("warc_ts"))
+    ctx = PipelineContext()
+    (expr,) = SessionId(gap_s=60).transform_exprs([], ctx)
+    a = df.select("url", "warc_ts", expr.alias("sid"))
+    b = sessionize(df, gap_s=60, out_col="sid").select("url", "warc_ts", "sid")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_skew_head_from_probe_side_with_history_cap(spark):
+    """Head keys come from PROBE counts; a probe-hot key whose right
+    history exceeds max_history stays on the window path. Either way
+    the output must equal the plain as-of join."""
+    from ballet_spark.operators.asof import asof_join
+    from ballet_spark.plans.skew import asof_join_skew
+
+    right_rows = [("hot", float(i), float(i)) for i in range(50)] + [
+        ("cold", 1.0, -1.0)
+    ]
+    right = spark.createDataFrame(
+        right_rows, "url string, sec double, v double"
+    ).select("url", F.timestamp_seconds("sec").alias("warc_ts"), "v")
+    probe_rows = [("hot", float(i) + 0.5) for i in range(200)] + [("cold", 5.0)]
+    probes = spark.createDataFrame(probe_rows, "url string, sec double").select(
+        "url", F.timestamp_seconds("sec").alias("ts")
+    )
+    plain = sorted(map(tuple, asof_join(probes, right).collect()))
+    # default: hot goes broadcast (history 50 <= cap)
+    split = sorted(map(tuple, asof_join_skew(probes, right, top_k=1).collect()))
+    assert split == plain
+    # tiny cap: hot's history too big to broadcast -> window path; same rows
+    capped = sorted(
+        map(tuple, asof_join_skew(probes, right, top_k=1, max_history=10).collect())
+    )
+    assert capped == plain
