@@ -1156,6 +1156,23 @@ def curation_pipeline(spark, sf_dir):
     )
 
 
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher/C4-style heuristic curation gate (Rae et al. 2021 table
+    A1 rules, thresholds scaled to the short synthetic docs): per-doc
+    word/line stats, duplicate-line and bullet/ellipsis-line fractions,
+    alphabetic-word fraction, symbol ratio, mean word length, and the
+    composite ``keep`` flag. Pure JVM expressions — a map over the
+    scan, no shuffle. Deterministic line structure is injected with a
+    literal replace (identical left-to-right non-overlapping semantics
+    in Spark and DuckDB) because the fixture text is single-line."""
+    from ballet_spark.functions.text import gopher_filter
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable "))
+    )
+    return gopher_filter(docs, min_words=40, max_mean_word_len=4.6)
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1254,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "embedding_ivf_topk": embedding_ivf_topk,
         "curation_pipeline": curation_pipeline,
+        "gopher_quality_filter": gopher_quality_filter,
     }
 
 
@@ -2020,6 +2038,50 @@ def _generated_oracles() -> dict[str, str]:
         SELECT lang, split, count(*) AS n_docs,
                round(avg(round(quality, 6)), 4) AS avg_quality
         FROM split GROUP BY lang, split
+    """
+
+    out["gopher_quality_filter"] = """
+        WITH d AS (
+            SELECT doc_id, replace(text, ' table ', chr(10) || 'table ') AS t
+            FROM documents),
+        s AS (
+            SELECT doc_id, t,
+                   string_split(t, chr(10)) AS lines,
+                   list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS words
+            FROM d),
+        m AS (
+            SELECT doc_id,
+                len(words)::BIGINT AS n_words,
+                len(lines)::BIGINT AS n_lines,
+                CASE WHEN len(lines) > 0 THEN round(
+                    (len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE, 6)
+                    ELSE 0.0 END AS dup_line_frac,
+                CASE WHEN len(lines) > 0 THEN round(
+                    len(list_filter(lines, l -> starts_with(l, '- ')
+                        OR starts_with(l, '* ') OR starts_with(l, '•')))
+                    / len(lines)::DOUBLE, 6) ELSE 0.0 END AS bullet_line_frac,
+                CASE WHEN len(lines) > 0 THEN round(
+                    len(list_filter(lines, l -> ends_with(l, '...')))
+                    / len(lines)::DOUBLE, 6) ELSE 0.0 END AS ellipsis_line_frac,
+                CASE WHEN len(words) > 0 THEN round(
+                    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                    / len(words)::DOUBLE, 6) ELSE 0.0 END AS alpha_word_frac,
+                CASE WHEN len(words) > 0 THEN round(
+                    len(list_filter(words, w -> contains(w, '#')))
+                    / len(words)::DOUBLE, 6) ELSE 0.0 END AS symbol_word_ratio,
+                CASE WHEN len(words) > 0 THEN round(
+                    length(regexp_replace(t, '\\s', '', 'g')) / len(words)::DOUBLE, 6)
+                    ELSE 0.0 END AS mean_word_len
+            FROM s)
+        SELECT *,
+               (n_words BETWEEN 40 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 4.6
+                AND dup_line_frac <= 0.30
+                AND bullet_line_frac <= 0.90
+                AND ellipsis_line_frac <= 0.30
+                AND alpha_word_frac >= 0.80
+                AND symbol_word_ratio <= 0.10) AS keep
+        FROM m
     """
 
     out["stratified_sample_docs"] = """

@@ -265,3 +265,90 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "rank", "tf_idf")
     )
+
+
+# --------------------------------------------------------------------
+# Gopher/C4-style heuristic curation rules (pure JVM expressions)
+# --------------------------------------------------------------------
+
+# Rule thresholds follow the published Gopher (Rae et al. 2021, table
+# A1) and C4 heuristics, scaled where noted to the synthetic corpus's
+# short fixtures. No reference analog (ballet has no curation rules);
+# task-brief training-data-pipeline surface.
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_dup_line_frac": 0.30,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80,
+    "max_symbol_word_ratio": 0.10,
+}
+
+
+def gopher_metrics(df, text_col: str = "text", id_cols=("doc_id",)):
+    """Per-document curation metrics: word/line counts, duplicate-line
+    fraction, bullet/ellipsis line fractions, alphabetic-word fraction,
+    symbol-to-word ratio, mean word length.
+
+    Everything is whole-stage-codegen'd JVM expressions over two
+    materialized token arrays (lines, words) — no Python, no shuffle;
+    the operator is a pure map and inherits the scan's partitioning,
+    so it runs at input-scan speed on any corpus size. Lambdas see
+    BOUND array columns (projected first) so the splits run once,
+    not once per element (same pitfall as dedup.ngrams_from_tokens).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        F.col(text_col).alias("__text"),
+        lines.alias("__lines"),
+        words.alias("__words"),
+    )
+    n_lines = F.size("__lines")
+    n_words = F.size("__words")
+    dup_lines = n_lines - F.size(F.array_distinct("__lines"))
+    bullet = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    ellipsis = F.size(F.filter(F.col("__lines"), lambda l: l.endswith("...")))
+    alpha = F.size(F.filter(F.col("__words"), lambda w: w.rlike("[A-Za-z]")))
+    hashes = F.size(F.filter(F.col("__words"), lambda w: w.contains("#")))
+    frac = lambda num, den: F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        *[F.col(c) for c in id_cols],
+        n_words.cast("bigint").alias("n_words"),
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(frac(dup_lines, n_lines), 6).alias("dup_line_frac"),
+        F.round(frac(bullet, n_lines), 6).alias("bullet_line_frac"),
+        F.round(frac(ellipsis, n_lines), 6).alias("ellipsis_line_frac"),
+        F.round(frac(alpha, n_words), 6).alias("alpha_word_frac"),
+        F.round(frac(hashes, n_words), 6).alias("symbol_word_ratio"),
+        F.round(mean_word_len(F.col("__text")), 6).alias("mean_word_len"),
+    )
+
+
+def gopher_filter(df, text_col: str = "text", id_cols=("doc_id",), **overrides):
+    """Metrics + a ``keep`` flag applying the Gopher-style gate. Pass
+    threshold overrides by keyword (e.g. ``min_words=5`` for short
+    fixtures)."""
+    t = {**GOPHER_DEFAULTS, **overrides}
+    m = gopher_metrics(df, text_col, id_cols)
+    keep = (
+        F.col("n_words").between(t["min_words"], t["max_words"])
+        & F.col("mean_word_len").between(t["min_mean_word_len"], t["max_mean_word_len"])
+        & (F.col("dup_line_frac") <= t["max_dup_line_frac"])
+        & (F.col("bullet_line_frac") <= t["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= t["max_ellipsis_line_frac"])
+        & (F.col("alpha_word_frac") >= t["min_alpha_word_frac"])
+        & (F.col("symbol_word_ratio") <= t["max_symbol_word_ratio"])
+    )
+    return m.select("*", keep.cast("boolean").alias("keep"))

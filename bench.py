@@ -187,6 +187,29 @@ def headline_queries(spark, sf_dir):
     return out
 
 
+def warmup_workers(spark):
+    """Spin up the Python worker pool and import numpy/pandas in every
+    worker BEFORE any timed query: 32 simultaneous cold `import numpy`
+    calls are an I/O storm that would otherwise land in (and pollute)
+    whichever timed query happens to fire the first pandas UDF. JVM
+    whole-stage-codegen also JITs its first window/agg here."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.operators.dedup import minhash_signatures
+
+    docs = (
+        spark.range(512)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", *[F.conv(F.col("id") + F.lit(i), 10, 36) for i in range(8)]
+            ).alias("text"),
+        )
+    )
+    minhash_signatures(docs, id_col="doc_id", num_hashes=8).count()
+
+
 def run_default():
     from ballet_spark.session import get_spark
 
@@ -195,6 +218,7 @@ def run_default():
     spark = get_spark(app_name="ballet_spark_bench", master=f"local[{cpus}]")
 
     path = ensure_webtext(spark)
+    warmup_workers(spark)
     timings = {}
 
     n_docs, best = 0, None

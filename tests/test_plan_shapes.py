@@ -272,3 +272,16 @@ def test_ivf_probe_join_is_broadcast(spark):
     plan = _plan(ivf_topk(df, q, cents, k=3, n_probe=2))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_filter_is_shuffle_free_map(spark, pages_parquet):
+    """The curation gate is a pure map over the scan: no Exchange, no
+    Join, no Python evaluator — it must run at input-scan speed."""
+    from ballet_spark.functions.text import gopher_filter
+
+    pages = spark.read.parquet(pages_parquet).withColumnRenamed("url", "doc_id")
+    plan = _plan(gopher_filter(pages, id_cols=("doc_id",)))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -149,3 +149,38 @@ def test_knn_imputer_bucketed(spark):
 def test_knn_imputer_requires_features():
     with pytest.raises(ValueError, match="feature_cols"):
         KNNImputer(n_neighbors=3).fit(None, ["v"], None)
+
+
+def test_gopher_rules_on_synthetic_docs(spark):
+    """Line-based Gopher rules (the fixture corpus is single-line, so
+    the oracle query can't exercise these): duplicate lines, bullets,
+    ellipses, symbol words, non-alpha words."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.functions.text import gopher_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good prose line one\nanother fine line\nthird line here"),
+            (2, "same line\nsame line\nsame line\nsame line"),  # dup lines
+            (3, "- item one\n- item two\n- item three"),  # bullets
+            (4, "teaser text...\nmore teaser...\nfinal..."),  # ellipses
+            (5, "## ## ## ## word"),  # symbol-heavy
+            (6, "1 2 3 4 5 6 7 8 9 10"),  # no alpha words
+            (7, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_filter(
+            docs, min_words=3, min_mean_word_len=0.5, max_mean_word_len=20.0
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.75 and out[2]["keep"] is False
+    assert out[3]["bullet_line_frac"] == 1.0 and out[3]["keep"] is False
+    assert out[4]["ellipsis_line_frac"] == 1.0 and out[4]["keep"] is False
+    assert out[5]["symbol_word_ratio"] == 0.8 and out[5]["keep"] is False
+    assert out[6]["alpha_word_frac"] == 0.0 and out[6]["keep"] is False
+    assert out[7]["n_words"] == 0 and out[7]["keep"] is False
