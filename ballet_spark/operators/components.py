@@ -104,10 +104,20 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the convergence count above consumed the OLD labels for the
+        # last time. unpersist() frees persist()-style caches; the
+        # localCheckpoint BLOCKS are released by the ContextCleaner once
+        # the last reference drops — which the rebinding below does —
+        # so at most two label tables are ever reachable, not R of them
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
 
+    # the returned frame is backed by its own checkpoint blocks only;
+    # drop the edge/pair references so their blocks become collectable
+    pairs.unpersist()
+    edges.unpersist()
     return labels.select("id", "component")
 
 

@@ -90,9 +90,14 @@ def cosine_topk(
                 )
             yield pd.concat(frames, ignore_index=True)
 
+    # id columns keep their INPUT types (url strings are the repo's
+    # primary entity key — a hardcoded `long` schema would fail the
+    # Arrow conversion for them)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    ct = corpus.schema[id_col].dataType.simpleString()
     scored = c.mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
+        score, f"query_id {qt}, neighbor_id {ct}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -184,11 +189,7 @@ def lsh_bucket(
     fixed seeded projections. Same-bucket vectors are cosine-close with
     high probability; 2^n_planes buckets."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn(out_col, bucket)
+    return df.withColumn(out_col, bucket_expr(vec_col, planes))
 
 
 def cosine_topk_lsh(
@@ -378,13 +379,18 @@ def ivf_topk(
     Q = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
     d = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
     probes = np.argsort(d, axis=1)[:, :n_probe]  # (nq, n_probe)
+    # native-Python values + the queries frame's own id dtype (string
+    # ids are first-class; int(qid) would crash on them)
     probe_rows = [
-        (int(qid), int(c))
-        for qid, row in zip(q_pdf["query_id"], probes)
+        (qid, int(c))
+        for qid, row in zip(q_pdf["query_id"].tolist(), probes)
         for c in row
     ]
     spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, centroid_id int")
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    probe_df = spark.createDataFrame(
+        probe_rows, f"query_id {qt}, centroid_id int"
+    )
 
     tagged = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),

@@ -51,11 +51,46 @@ LINEAGE_SCHEMA = (
 
 
 def feature_set_id(features: Sequence) -> str:
-    """Stable id of the feature list (name/alias/description tuple
-    hash) — the engine analog of the reference's feature source
-    provenance (ballet/contrib.py stamping)."""
+    """Stable id of the feature list: name/alias/input PLUS the
+    transformer's identity. The transformer must participate — resume
+    keys completed units on this id, so if editing a feature's LOGIC
+    didn't change the id, a re-run would find every unit "complete"
+    and silently serve the old code's outputs (digests would match,
+    flagging nothing). Callables hash by module.qualname+bytecode via
+    :func:`ballet_spark.core._hash_callable` (process-stable)."""
+    from ballet_spark.core import _hash_callable
+
+    def _tr_key(v) -> str:
+        """Recursive, address-free structural key (default object repr
+        embeds the memory address, which would make the id differ per
+        process exactly like the _hash_callable bug)."""
+        if v is None or isinstance(v, (str, int, float, bool, bytes)):
+            return repr(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(_tr_key(t) for t in v) + "]"
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ",".join(f"{k}:{_tr_key(x)}" for k, x in sorted(v.items()))
+                + "}"
+            )
+        if callable(v) and hasattr(v, "__code__"):  # function/lambda
+            return _hash_callable(v)
+        if hasattr(v, "__dict__"):  # transformer / Feature / estimator
+            state = ",".join(
+                f"{k}={_tr_key(x)}"
+                for k, x in sorted(vars(v).items())
+                if not k.startswith("_")
+            )
+            return f"{type(v).__module__}.{type(v).__qualname__}({state})"
+        if callable(v):
+            return _hash_callable(v)
+        return repr(v)
+
     parts = "|".join(
-        f"{f.name}:{f.alias}:{f.input if isinstance(f.input, str) else list(f.input) if not callable(f.input) else 'callable'}"
+        f"{f.name}:{f.alias}:"
+        f"{f.input if isinstance(f.input, str) else list(f.input) if not callable(f.input) else _hash_callable(f.input)}"
+        f":{_tr_key(getattr(f, 'transformer', None))}"
         for f in features
     )
     return hashlib.md5(parts.encode()).hexdigest()[:16]
@@ -138,6 +173,17 @@ def materialize(
     fset = feature_set_id(features)
     done = completed_units(spark, lineage_path, fset, input_snapshot)
     pending = [u for u in range(n_units) if u not in done]
+    if not pending:
+        # fully-materialized re-run (orchestrator retry): nothing to
+        # write, so don't pay the fit's full-source Spark jobs either
+        return {
+            "feature_set": fset,
+            "input_snapshot": input_snapshot,
+            "units_total": n_units,
+            "units_skipped": len(done),
+            "units_computed": 0,
+            "out_path": out_path,
+        }
 
     pipe = FeatureEngineeringPipeline(
         features, entity_col=entity_col, time_col=time_col

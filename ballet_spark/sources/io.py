@@ -33,7 +33,12 @@ def load_table_from_config(spark: SparkSession, config: dict) -> DataFrame:
     if fmt == "parquet":
         return reader.parquet(config["path"])
     if fmt == "csv":
-        return reader.option("header", "true").csv(config["path"])
+        # header defaults on, but an explicit options entry wins — the
+        # default must never override a user's header=false (that would
+        # silently eat the first data row of every headerless file)
+        if "header" not in (config.get("options") or {}):
+            reader = reader.option("header", "true")
+        return reader.csv(config["path"])
     if fmt == "json":
         return reader.json(config["path"])
     if fmt == "orc":
@@ -67,14 +72,35 @@ def table(spark: SparkSession, name: str, snapshot_id: int | None = None) -> Dat
         ) from e
 
 
-_CACHE: dict[str, DataFrame] = {}
+_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def cached(key: str, df: DataFrame) -> DataFrame:
-    """Session-scoped snapshot reuse (reference load_data memoization)."""
-    if key not in _CACHE:
-        _CACHE[key] = df.persist()
-    return _CACHE[key]
+    """Session-scoped snapshot reuse (reference load_data memoization).
+    Keyed per SparkSession: a cached frame must never outlive its
+    session (a module-global entry from a stopped session is a dead
+    handle, and a fresh session would silently receive it)."""
+    sid = df.sparkSession.sparkContext.applicationId
+    # drop entries from other (stopped) sessions so handles don't pin
+    # executor storage or leak across restarts
+    for k in [k for k in _CACHE if k[0] != sid]:
+        del _CACHE[k]
+    full = (sid, key)
+    if full not in _CACHE:
+        _CACHE[full] = df.persist()
+    return _CACHE[full]
+
+
+def uncache(key: str | None = None) -> None:
+    """Evict one key (every session) or everything, unpersisting live
+    frames."""
+    for k in list(_CACHE):
+        if key is None or k[1] == key:
+            try:
+                _CACHE[k].unpersist()
+            except Exception:
+                pass  # session already stopped
+            del _CACHE[k]
 
 
 def save_bucketed(

@@ -82,52 +82,78 @@ def stream_sessionize(
     )
 
 
-RUNNING_STATE_SCHEMA = "count long, total double, last_lang string"
-RUNNING_OUTPUT_SCHEMA = (
-    "url string, count long, mean_value double, last_lang string"
+RUNNING_STATE_SCHEMA = (
+    "count long, n_vals long, total double, last_val string, last_ts double"
 )
 
 
-def _running_fn(key, pdf_iter, state):
-    """Stateful per-entity running aggregates (count, mean, last
-    non-null lang — the streaming forward-fill carry)."""
-    import pandas as pd
+def _running_fn_factory(entity_col, time_col, value_col, carry_col):
+    """Stateful per-entity running aggregates.
 
-    if state.exists:
-        count, total, last_lang = state.get
-    else:
-        count, total, last_lang = 0, 0.0, None
-    for pdf in pdf_iter:
-        count += len(pdf)
-        total += float(pdf["text_len"].fillna(0).sum())
-        non_null = pdf["lang"].dropna()
-        if len(non_null):
-            last_lang = non_null.iloc[-1]
-    state.update((count, total, last_lang))
-    yield pd.DataFrame(
-        {
-            "url": [key[0]],
-            "count": [count],
-            "mean_value": [total / count if count else None],
-            "last_lang": [last_lang],
-        }
-    )
+    Batch-parity contract: ``mean_value`` divides by the NON-NULL value
+    count (exactly ``F.avg``'s null semantics), and the ``last_val``
+    forward-fill carry is EVENT-TIME-latest, not batch-position-latest
+    — micro-batches deliver a group's rows in arbitrary file order and
+    late-but-within-watermark rows arrive in later batches, so the
+    carry keeps the timestamp it was observed at in state and only
+    advances when a non-null value with ``ts >= last_ts`` appears."""
+
+    def _fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            count, n_vals, total, last_val, last_ts = state.get
+        else:
+            count, n_vals, total, last_val, last_ts = 0, 0, 0.0, None, None
+        for pdf in pdf_iter:
+            count += len(pdf)
+            vals = pdf[value_col].dropna()
+            n_vals += len(vals)
+            total += float(vals.sum())
+            carry = pdf[[time_col, carry_col]].dropna()
+            if len(carry):
+                carry = carry.sort_values(time_col)
+                ts = float(carry[time_col].iloc[-1].timestamp())
+                if last_ts is None or ts >= last_ts:
+                    last_val = carry[carry_col].iloc[-1]
+                    last_ts = ts
+        state.update((count, n_vals, total, last_val, last_ts))
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]],
+                "count": [count],
+                "mean_value": [total / n_vals if n_vals else None],
+                "last_val": [last_val],
+            }
+        )
+
+    return _fn
 
 
 def stream_running_features(
     events: DataFrame,
     entity_col: str = "url",
     time_col: str = "warc_ts",
+    value_col: str = "text_len",
+    carry_col: str = "lang",
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-entity
-    running count/mean + last-non-null carry (streaming ffill)."""
+    running count / null-correct mean of ``value_col`` + event-time
+    last-non-null carry of ``carry_col`` (streaming ffill). Column
+    roles are parameters; the output entity column keeps its input
+    name and type."""
+    ent_type = events.schema[entity_col].dataType.simpleString()
+    out_schema = (
+        f"{entity_col} {ent_type}, count long, "
+        "mean_value double, last_val string"
+    )
     return (
         events.withWatermark(time_col, watermark)
         .groupBy(entity_col)
         .applyInPandasWithState(
-            _running_fn,
-            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            _running_fn_factory(entity_col, time_col, value_col, carry_col),
+            outputStructType=out_schema,
             stateStructType=RUNNING_STATE_SCHEMA,
             outputMode="update",
             timeoutConf="NoTimeout",

@@ -200,3 +200,26 @@ def test_snapshot_time_travel_read(spark, webtext_df, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "snapshot" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_feature_set_id_tracks_transformer_logic():
+    """Resume keys on this id — editing a feature's LOGIC (same
+    name/input) must change it, and rebuilding the identical feature
+    list must NOT (else resume never matches across processes)."""
+    from ballet_spark.core import Feature
+    from ballet_spark.operators.window_ops import Lag, Rolling
+    from ballet_spark.plans.materialize import feature_set_id
+
+    a1 = [Feature("text_len", Lag(1), output="f")]
+    a2 = [Feature("text_len", Lag(1), output="f")]
+    b = [Feature("text_len", Lag(2), output="f")]
+    c = [Feature("text_len", Rolling("mean", 5), output="f")]
+    assert feature_set_id(a1) == feature_set_id(a2)
+    assert feature_set_id(a1) != feature_set_id(b)
+    assert feature_set_id(a1) != feature_set_id(c)
+    # callable transformers: identical bodies agree, different differ
+    d1 = [Feature("text_len", lambda col: col * 2, output="f")]
+    d2 = [Feature("text_len", lambda col: col * 2, output="f")]
+    e = [Feature("text_len", lambda col: col * 3, output="f")]
+    assert feature_set_id(d1) == feature_set_id(d2)
+    assert feature_set_id(d1) != feature_set_id(e)

@@ -115,4 +115,9 @@ def test_cached_memoizes_and_persists(spark):
     assert a is b
     assert a.storageLevel.useMemory  # persisted
     assert a.count() == 100
-    io_mod._CACHE.pop("t_cached_key").unpersist()
+    # keys are scoped per SparkSession (stale-session handles must
+    # never be served to a fresh session)
+    sid = spark.sparkContext.applicationId
+    assert (sid, "t_cached_key") in io_mod._CACHE
+    io_mod.uncache("t_cached_key")
+    assert not any(k[1] == "t_cached_key" for k in io_mod._CACHE)

@@ -117,3 +117,32 @@ def test_ivf_topk_tight_clusters_high_recall(spark):
     es = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
     got = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     assert len(es & got) / len(es) >= 0.95
+
+
+def test_similarity_accepts_string_ids(spark):
+    """url-keyed vectors (the repo's primary entity key) must work in
+    every ANN path — the output id columns keep the input dtype."""
+    import numpy as np
+
+    from ballet_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(f"https://d{i:03d}.org", rng.standard_normal(8).tolist())
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    queries = df.limit(3)
+    exact = cosine_topk(df, queries, k=3)
+    assert exact.schema["query_id"].dataType.simpleString() == "string"
+    assert exact.count() == 9
+    lsh = cosine_topk_lsh(df, queries, k=3, dim=8, n_planes=4, n_tables=4)
+    assert lsh.schema["neighbor_id"].dataType.simpleString() == "string"
+    assert lsh.count() > 0
+    cents = ivf_fit(df, n_centroids=4, n_iter=1, vec_col="embedding")
+    ivf = ivf_topk(df, queries, cents, k=3, n_probe=4)
+    assert ivf.schema["query_id"].dataType.simpleString() == "string"
+    assert ivf.count() == 9

@@ -168,3 +168,47 @@ def test_stream_interval_join_matches_batch(spark, stream_source, tmp_path):
         & (F.col("rb.event_ts") <= F.expr("lb.warc_ts + INTERVAL 1 HOUR")),
     ).count()
     assert got == exp and got > 0
+
+
+def test_running_features_null_mean_and_event_time_carry(spark, tmp_path):
+    """Batch-parity semantics of the stateful running operator:
+    mean_value uses F.avg's null handling (nulls excluded from the
+    denominator), and the ffill carry is event-time-latest even when a
+    LATER micro-batch delivers an OLDER within-watermark row."""
+    import pandas as pd
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    f1 = pd.DataFrame(  # first batch: the NEWER row arrives first
+        {
+            "url": ["u", "u"],
+            "warc_ts": [base + pd.Timedelta(hours=1), base + pd.Timedelta(minutes=90)],
+            "text_len": [10.0, None],
+            "lang": ["en", None],
+        }
+    )
+    f2 = pd.DataFrame(  # second batch: older (but in-watermark) row
+        {
+            "url": ["u"],
+            "warc_ts": [base],
+            "text_len": [30.0],
+            "lang": ["fr"],
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1).write.mode("overwrite").parquet(src + "/b1")
+    spark.createDataFrame(f2).write.mode("overwrite").parquet(src + "/b2")
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stream_running_features(stream, watermark="10 hours")
+    run_stream_to_memory(out, "run_parity", "update")
+    # update mode: take the LAST emitted state row for the entity
+    got = spark.sql("select * from run_parity").toPandas().iloc[-1]
+    assert got["count"] == 3
+    # mean over non-null values only: (10 + 30) / 2, never /3
+    assert got["mean_value"] == pytest.approx(20.0)
+    # 'fr' (09:00) arrived after 'en' (11:00) but must NOT win the carry
+    assert got["last_val"] == "en"
