@@ -818,13 +818,19 @@ def _ote_exact(spark, sf_dir):
     )
     tot = ev.agg(F.sum("y").alias("S"), F.count("y").alias("C")).first()
     S, C = float(tot["S"]), float(tot["C"])
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("ts")
-        .rowsBetween(W.unboundedPreceding, -1)
+    # tie-safe strict-before: cumulative RANGE through peers minus the
+    # peer group (same construction as OrderedTargetEncoder — order of
+    # tied rows can never change the result)
+    base = W.partitionBy("event_type").orderBy("ts")
+    w_cum = base.rangeBetween(W.unboundedPreceding, W.currentRow)
+    w_tie = base.rangeBetween(W.currentRow, W.currentRow)
+    s_ = F.coalesce(F.sum("y").over(w_cum), F.lit(0.0)) - F.coalesce(
+        F.sum("y").over(w_tie), F.lit(0.0)
     )
-    s_ = F.coalesce(F.sum("y").over(w), F.lit(0.0))
-    n_ = F.coalesce(F.count("y").over(w), F.lit(0)).cast("double")
+    n_ = (
+        F.coalesce(F.count("y").over(w_cum), F.lit(0))
+        - F.coalesce(F.count("y").over(w_tie), F.lit(0))
+    ).cast("double")
     return ev.select(
         "event_id",
         (s_ * F.lit(C) + F.lit(S)).cast("bigint").alias("ote_num"),
@@ -1638,11 +1644,15 @@ def oracle_sql() -> dict[str, str]:
                         FROM events),
             tot AS (SELECT sum(y) AS S, count(y)::DOUBLE AS C FROM ev)
             SELECT event_id,
-                   (coalesce(sum(y) OVER w, 0) * C + S)::BIGINT AS ote_num,
-                   ((coalesce(count(y) OVER w, 0) + 1) * C)::BIGINT AS ote_den
+                   ((coalesce(sum(y) OVER wc, 0) - coalesce(sum(y) OVER wt, 0))
+                        * C + S)::BIGINT AS ote_num,
+                   ((coalesce(count(y) OVER wc, 0) - coalesce(count(y) OVER wt, 0))
+                        + 1)::BIGINT * C::BIGINT AS ote_den
             FROM ev, tot
-            WINDOW w AS (PARTITION BY event_type ORDER BY ts
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            WINDOW wc AS (PARTITION BY event_type ORDER BY ts
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wt AS (PARTITION BY event_type ORDER BY ts
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
         """,
         "cube_orders": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n,

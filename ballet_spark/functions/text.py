@@ -104,7 +104,11 @@ _STOPWORDS = [
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
-    sw = stopwords or _STOPWORDS
+    # None means "use the default list"; an explicit [] means "no
+    # stopwords" and must not silently fall back (`or` would)
+    sw = _STOPWORDS if stopwords is None else stopwords
+    if not sw:
+        return F.lit(0.0)
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = token_count(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
@@ -340,6 +344,12 @@ def gopher_filter(df, text_col: str = "text", id_cols=("doc_id",), **overrides):
     """Metrics + a ``keep`` flag applying the Gopher-style gate. Pass
     threshold overrides by keyword (e.g. ``min_words=5`` for short
     fixtures)."""
+    unknown = set(overrides) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise TypeError(
+            f"unknown gopher threshold(s) {sorted(unknown)}; "
+            f"valid: {sorted(GOPHER_DEFAULTS)}"
+        )
     t = {**GOPHER_DEFAULTS, **overrides}
     m = gopher_metrics(df, text_col, id_cols)
     keep = (

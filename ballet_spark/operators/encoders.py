@@ -262,7 +262,16 @@ def loo_encode_train(
 
 class OrdinalEncoder(JoinFittedEncoder):
     """Category → dense index by sorted train order (sklearn
-    OrdinalEncoder). Unseen ⇒ -1 (sklearn's unknown_value idiom)."""
+    OrdinalEncoder). Unseen ⇒ -1 (sklearn's unknown_value idiom).
+
+    ``max_categories`` guards the global-sort index assignment: the
+    no-partition row_number funnels every distinct category through one
+    partition, which is fine for a bounded vocabulary and an OOM/stall
+    on a web-scale key (URL host at 10^8 distinct) — fail loudly like
+    the other driver-side encoders instead of hanging."""
+
+    def __init__(self, max_categories: int = 100_000):
+        self.max_categories = max_categories
 
     def fit(self, df, cols, ctx, y=None):
         self._cols = cols
@@ -270,14 +279,19 @@ class OrdinalEncoder(JoinFittedEncoder):
         for c in cols:
             from pyspark.sql import Window
 
-            w = Window.orderBy(F.col("__g"))
-            self.params_[c] = (
-                df.select(F.col(c).alias("__g"))
-                .distinct()
-                .select(
-                    "__g",
-                    (F.row_number().over(w) - 1).cast("double").alias("__enc"),
+            distinct = df.select(F.col(c).alias("__g")).distinct()
+            n = distinct.limit(self.max_categories + 1).count()
+            if n > self.max_categories:
+                raise ValueError(
+                    f"{c}: > {self.max_categories} distinct categories — "
+                    "ordinal indexing needs a global sort; use "
+                    "HashingEncoder/FrequencyEncoder for unbounded keys "
+                    "or raise max_categories explicitly"
                 )
+            w = Window.orderBy(F.col("__g"))
+            self.params_[c] = distinct.select(
+                "__g",
+                (F.row_number().over(w) - 1).cast("double").alias("__enc"),
             )
         return self
 
@@ -359,26 +373,34 @@ class RareLabelEncoder(JoinFittedEncoder):
         return [F.count(F.lit(1)).alias("__n")]
 
     def _enc_expr(self):
-        return F.when(
-            F.col("__n") / F.lit(float(self.n_)) >= self.tol, F.col("__g")
-        ).otherwise(F.lit(self.rare_label))
+        # boolean KEEP flag, not the encoded value: a frequent NULL
+        # category's encoded value would itself be NULL, which the
+        # transform-side coalesce could not tell apart from a join miss
+        # (it would wrongly emit 'Rare' for a 50%-frequent NULL group)
+        return F.col("__n") / F.lit(float(self.n_)) >= self.tol
 
     def _default(self):
         return F.lit(self.rare_label)
 
     def transform_df(self, df, cols, alias, ctx):
-        # output is string-typed; same join plumbing, different coalesce type
+        # output is string-typed: original value where the category's
+        # keep flag is true (NULL category stays NULL — it is a real
+        # category under the eqNullSafe convention), 'Rare' when the
+        # flag is false OR the join missed (unseen)
         out_names = []
         cur = df
         for i, c in enumerate(cols):
             name = alias if len(cols) == 1 else f"{alias}_{i}"
-            p = self.params_[c].withColumnRenamed("__enc", f"__enc_{name}")
+            p = self.params_[c].withColumnRenamed("__enc", f"__keep_{name}")
             cur = cur.join(F.broadcast(p), cur[c].eqNullSafe(F.col("__g")), "left")
             cur = cur.select(
-                *[F.col(x) for x in cur.columns if x not in ("__g", f"__enc_{name}")],
-                F.coalesce(
-                    F.col(f"__enc_{name}"), F.lit(self.rare_label)
-                ).alias(name),
+                *[F.col(x) for x in cur.columns if x not in ("__g", f"__keep_{name}")],
+                F.when(
+                    F.coalesce(F.col(f"__keep_{name}"), F.lit(False)),
+                    F.col(c).cast("string"),
+                )
+                .otherwise(F.lit(self.rare_label))
+                .alias(name),
             )
             out_names.append(name)
         return cur, out_names
@@ -452,10 +474,14 @@ class BaseNEncoder(SparkTransformer):
         out = []
         for e, c in zip(in_exprs, self._cols):
             cats = self.categories_[c]
-            idx = F.lit(-1)
+            # codes 1..n with unseen/NULL = 0 (category_encoders'
+            # convention): the all-zero digit vector is then UNIQUE to
+            # unknowns — a -1 sentinel would pmod to all-ones and
+            # collide byte-identically with the highest real category
+            idx = F.lit(0)
             for i, cat in enumerate(cats):
-                idx = F.when(e == F.lit(cat), F.lit(i)).otherwise(idx)
-            n_digits = max(1, math.ceil(math.log(max(len(cats), 2), self.base)))
+                idx = F.when(e == F.lit(cat), F.lit(i + 1)).otherwise(idx)
+            n_digits = max(1, math.ceil(math.log(len(cats) + 1, self.base)))
             for d in range(n_digits):
                 out.append(
                     F.pmod(
@@ -610,14 +636,25 @@ class OrderedTargetEncoder(SparkTransformer):
 
         out = []
         for e in in_exprs:
-            w = (
-                Window.partitionBy(e)
-                .orderBy(F.col(ctx.time_col))
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
+            # STRICTLY-before must hold under tied event times too: a
+            # ROWS frame ending at -1 includes same-instant rows in
+            # arbitrary partition order (same-timestamp label leakage +
+            # run-to-run nondeterminism). RANGE frames are tie-group
+            # aware: cumulative-through-peers minus the peer group
+            # itself = everything with ts strictly less than this row's,
+            # independent of tie order. Both frames share one
+            # (partitionBy, orderBy) → ONE Window node, one exchange.
+            base = Window.partitionBy(e).orderBy(F.col(ctx.time_col))
+            w_cum = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            w_tie = base.rangeBetween(Window.currentRow, Window.currentRow)
             y = F.col(self._fitted_y).cast("double")
-            s = F.coalesce(F.sum(y).over(w), F.lit(0.0))
-            n = F.coalesce(F.count(y).over(w), F.lit(0)).cast("double")
+            s = F.coalesce(F.sum(y).over(w_cum), F.lit(0.0)) - F.coalesce(
+                F.sum(y).over(w_tie), F.lit(0.0)
+            )
+            n = (
+                F.coalesce(F.count(y).over(w_cum), F.lit(0))
+                - F.coalesce(F.count(y).over(w_tie), F.lit(0))
+            ).cast("double")
             # rational form (s*C + a*S) / ((n+a)*C): for integer-valued
             # labels this is ONE division of exactly-representable
             # operands, so independent engines produce bit-identical

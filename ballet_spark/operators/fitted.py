@@ -177,7 +177,14 @@ class Winsorizer(AggFittedTransformer):
         return {"lo": self._pct(c, self.lower_q), "hi": self._pct(c, self.upper_q)}
 
     def _apply(self, e, p):
-        return F.least(F.greatest(e.cast("double"), p["lo"]), p["hi"])
+        x = e.cast("double")
+        # a winsorizer caps, it must never impute: greatest(NULL, lo)
+        # is lo (Spark skips NULLs) and least orders NaN largest, so
+        # without the guard missing values silently become the caps
+        # (same guard as ArbitraryOutlierCapper below)
+        return F.when(
+            x.isNull() | F.isnan(x), x
+        ).otherwise(F.least(F.greatest(x, p["lo"]), p["hi"]))
 
 
 class ComputedValueTransformer(AggFittedTransformer):
@@ -275,18 +282,22 @@ class KBinsDiscretizer(AggFittedTransformer):
         return {f"q{i}": pct(c, F.lit(q)) for i, q in enumerate(qs)}
 
     def _apply(self, e, p):
+        # NULL input stays NULL — NULL comparisons would otherwise fall
+        # through to the `otherwise` default, silently converting
+        # missingness into the LAST bin ('quantile') / bin 0 ('uniform')
         if self.strategy == "uniform":
             lo, hi = p["min"], p["max"]
             width = (hi - lo) / F.lit(float(self.n_bins))
             raw = F.floor((e - lo) / width)
-            return F.least(
+            binned = F.least(
                 F.greatest(raw, F.lit(0)), F.lit(self.n_bins - 1)
-            ).cast("int")
+            )
+            return F.when(e.isNull(), F.lit(None)).otherwise(binned).cast("int")
         # quantile: CASE chain over n_bins-1 boundaries (n_bins is small)
         expr = F.lit(self.n_bins - 1)
         for i in reversed(range(self.n_bins - 1)):
             expr = F.when(e <= p[f"q{i}"], F.lit(i)).otherwise(expr)
-        return expr.cast("int")
+        return F.when(e.isNull(), F.lit(None)).otherwise(expr).cast("int")
 
 
 class Binarizer(SparkTransformer):

@@ -19,13 +19,27 @@ def as_of_slice(df: DataFrame, t_split, time_col: str = "warc_ts") -> DataFrame:
 
 
 def train_val_split(
-    df: DataFrame, t_split, time_col: str = "warc_ts"
+    df: DataFrame, t_split, time_col: str = "warc_ts", on_null: str = "val"
 ) -> tuple[DataFrame, DataFrame]:
-    """(train ≤ t_split, validation > t_split)."""
-    return (
-        df.filter(F.col(time_col) <= F.lit(t_split)),
-        df.filter(F.col(time_col) > F.lit(t_split)),
-    )
+    """(train ≤ t_split, validation > t_split).
+
+    A split must cover every row (the same discipline
+    :func:`hash_bucket` documents): both ``<=`` and ``>`` are
+    NULL-false, so rows with a NULL event time would silently vanish
+    from BOTH sides. ``on_null`` routes them: ``'val'`` (default —
+    undated data can't be proven visible as-of the split time, so it
+    must not train), ``'train'``, or ``'drop'`` (explicit exclusion)."""
+    if on_null not in ("train", "val", "drop"):
+        raise ValueError(f"on_null must be train/val/drop, got {on_null!r}")
+    ts = F.col(time_col)
+    is_null = ts.isNull()
+    train = ts <= F.lit(t_split)
+    val = ts > F.lit(t_split)
+    if on_null == "train":
+        train = train | is_null
+    elif on_null == "val":
+        val = val | is_null
+    return df.filter(train), df.filter(val)
 
 
 def hash_bucket(key, n_buckets: int = 100, salt: str = "") -> "F.Column":

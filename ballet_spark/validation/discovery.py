@@ -54,19 +54,28 @@ def discover(
     row = matrix.agg(*aggs).first().asDict()
 
     all_cols_count = len(flat)
+
+    def _avg(cols, stat):
+        """Reference semantics (ballet/discovery.py:102-130): for a
+        multi-value feature each statistic is computed per feature
+        value and then AVERAGED — so every computed aggregate is used,
+        and a 50-column one-hot reports the feature's stats, not the
+        first indicator's."""
+        vals = [row[f"{c}__{stat}"] for c in cols if row[f"{c}__{stat}"] is not None]
+        return sum(vals) / len(vals) if vals else None
+
     rows = []
     for name, cols in feature_cols.items():
-        c0 = cols[0]
         rec = {
             "feature": name,
             "ncols": len(cols),
-            "mean": row[f"{c0}__mean"],
-            "std": row[f"{c0}__std"],
-            "variance": row[f"{c0}__var"],
-            "min": row[f"{c0}__min"],
-            "median": row[f"{c0}__median"],
-            "max": row[f"{c0}__max"],
-            "nunique": row[f"{c0}__nunique"],
+            "mean": _avg(cols, "mean"),
+            "std": _avg(cols, "std"),
+            "variance": _avg(cols, "var"),
+            "min": _avg(cols, "min"),
+            "median": _avg(cols, "median"),
+            "max": _avg(cols, "max"),
+            "nunique": _avg(cols, "nunique"),
         }
         if y_col is not None:
             rec["mutual_information"] = estimate_mutual_information_spark(

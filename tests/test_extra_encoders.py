@@ -75,9 +75,11 @@ def test_mean_and_frequency_encoders(cat_df2, cat_pdf2):
 def test_binary_encoder_digits(cat_df2, cat_pdf2):
     out = _run(cat_df2, Feature("cat", BinaryEncoder(), output="b"))
     p = _sorted(cat_pdf2)
-    mapping = {c: i for i, c in enumerate(sorted(p["cat"].unique()))}
+    # codes are 1-based (category_encoders convention): the all-zero
+    # vector is reserved for unseen/NULL and collides with no category
+    mapping = {c: i + 1 for i, c in enumerate(sorted(p["cat"].unique()))}
     idx = p["cat"].map(mapping).to_numpy()
-    # 3 categories → 2 binary digits
+    # 3 categories → max code 3 → 2 binary digits
     assert (out["b_0"].to_numpy() == idx % 2).all()
     assert (out["b_1"].to_numpy() == idx // 2 % 2).all()
 
