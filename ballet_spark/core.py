@@ -76,17 +76,29 @@ class PipelineContext:
             )
 
 
+def _code_key(code) -> str:
+    """Canonical process-stable string for a code object. Nested
+    code objects (a lambda/genexp inside the function) appear in
+    ``co_consts``, and their default repr embeds a memory address —
+    recurse into them instead of repr-ing them."""
+    parts = [code.co_code.hex()]
+    for c in code.co_consts:
+        parts.append(_code_key(c) if hasattr(c, "co_code") else repr(c))
+    parts.extend(code.co_names)
+    return "(" + ",".join(parts) + ")"
+
+
 def _hash_callable(fn: Callable) -> str:
     """Deterministic across processes: hash the callable's identity
     (module.qualname) plus its compiled bytecode when available —
-    NEVER ``repr(fn)``, whose embedded memory address would give a
-    resumed job different auto-generated column names than the run
-    that wrote the matrix."""
+    NEVER ``repr(fn)`` or raw ``repr(co_consts)``, whose embedded
+    memory addresses would give a resumed job different auto-generated
+    column names than the run that wrote the matrix."""
     name = getattr(fn, "__name__", "selector")
     ident = f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', name)}"
     code = getattr(fn, "__code__", None)
     if code is not None:
-        ident += "|" + code.co_code.hex() + repr(code.co_consts)
+        ident += "|" + _code_key(code)
     return f"{name}_{hashlib.md5(ident.encode()).hexdigest()[:6]}"
 
 
@@ -166,9 +178,15 @@ class FittedFeaturePipeline:
     """Result of :meth:`FeatureEngineeringPipeline.fit` — immutable
     fitted states; ``transform`` never re-aggregates over its input."""
 
-    def __init__(self, pipeline: "FeatureEngineeringPipeline", states: list):
+    def __init__(
+        self,
+        pipeline: "FeatureEngineeringPipeline",
+        states: list,
+        fit_cols: list[list[str]] | None = None,
+    ):
         self.pipeline = pipeline
         self._states = states
+        self._fit_cols = fit_cols
 
     def transform(self, df: DataFrame) -> DataFrame:
         ctx = self.pipeline.ctx
@@ -177,8 +195,15 @@ class FittedFeaturePipeline:
         cur = df
         df_names: list[str] = []
 
-        for feat, tr in zip(self.pipeline.features, self._states):
-            cols = feat.resolve_input(df)
+        for i, (feat, tr) in enumerate(zip(self.pipeline.features, self._states)):
+            # inputs were resolved against the TRAIN schema at fit —
+            # re-running a callable selector against the transform frame
+            # could resolve different/reordered columns and silently
+            # misalign them with the positionally-keyed fitted params
+            if self._fit_cols is not None:
+                cols = self._fit_cols[i]
+            else:
+                cols = feat.resolve_input(df)
             exprs = tr.transform_exprs([F.col(c) for c in cols], ctx)
             if exprs is not None:
                 names = output_names(feat, len(exprs))
@@ -225,12 +250,14 @@ class FeatureEngineeringPipeline:
                 f"train_df, got {type(y).__name__}"
             )
         states = []
+        fit_cols = []
         for feat in self.features:
             cols = feat.resolve_input(train_df)
             tr = feat._transformer.copy()
             tr.fit(train_df, cols, self.ctx, y=y)
             states.append(tr)
-        return FittedFeaturePipeline(self, states)
+            fit_cols.append(cols)
+        return FittedFeaturePipeline(self, states, fit_cols)
 
     def fit_transform(self, df: DataFrame, y: str | None = None) -> DataFrame:
         return self.fit(df, y).transform(df)

@@ -107,24 +107,35 @@ def image_features(
             # image decoder is inherently per-item too)
             metas = pdf[meta_col]
             datas = pdf[media_col].map(lambda d: bytes(d) if d is not None else b"")
-            widths = metas.map(lambda m: int(m["width"])).to_numpy()
-            heights = metas.map(lambda m: int(m["height"])).to_numpy()
+            # a NULL meta struct must not kill the batch: rows without
+            # metadata decode to nothing and emit NULL features
+            widths = metas.map(
+                lambda m: int(m["width"]) if m is not None else 0
+            ).to_numpy()
+            heights = metas.map(
+                lambda m: int(m["height"]) if m is not None else 0
+            ).to_numpy()
             decode = _decode_image_fake if fake else _decode_image_real
             lumas = [
-                decode(d, w, h) if fake else decode(d)
+                (decode(d, w, h) if fake else decode(d)) if w > 0 and h > 0 else None
                 for d, w, h in zip(datas, widths, heights)
             ]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].to_numpy(),
                     "warc_ts": pdf["warc_ts"].to_numpy(),
-                    "mime": metas.map(lambda m: m["mime"]).to_numpy(),
+                    "mime": metas.map(
+                        lambda m: m["mime"] if m is not None else None
+                    ).to_numpy(),
                     "n_bytes": datas.map(len).to_numpy(dtype="int64"),
                     "width": widths,
                     "height": heights,
-                    "mean_luma": np.array([float(x.mean()) for x in lumas]),
-                    "phash": np.array(
-                        [_phash64(x) for x in lumas], dtype="int64"
+                    "mean_luma": np.array(
+                        [float(x.mean()) if x is not None else np.nan for x in lumas]
+                    ),
+                    "phash": pd.array(
+                        [_phash64(x) if x is not None else None for x in lumas],
+                        dtype="Int64",
                     ),
                 }
             )
@@ -143,6 +154,10 @@ def frame_sample_plan(
     index) with the frame timestamp offset — the explode/partition
     shape of a real frame sampler, decode stubbed out (frame bytes are
     NULL until a decoder is available)."""
+    if n_frames < 1:
+        # sequence(0, -1) would DESCEND ([0, -1]) and emit bogus rows
+        # with frame_offset_s = duration/0 instead of an empty plan
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
     out = df.select("url", "warc_ts", F.col(meta_col).alias("m"), idx)
     return out.select(

@@ -28,8 +28,15 @@ def url_path(url: Column) -> Column:
 
 
 def url_query_param(url: Column, key: str) -> Column:
-    """Value of one query-string parameter (NULL when absent)."""
-    return F.parse_url(url, F.lit("QUERY"), F.lit(key))
+    """Value of one query-string parameter (NULL when absent).
+
+    The key is interpolated into a JVM regex by ``parse_url``
+    (``(&|^)<key>=([^&]*)``) — metacharacters must be escaped or
+    ``a.c`` matches ``abc`` and a PHP-style ``id[]`` key throws
+    PatternSyntaxException and kills the job."""
+    import re
+
+    return F.parse_url(url, F.lit("QUERY"), F.lit(re.escape(key)))
 
 
 def url_protocol(url: Column) -> Column:

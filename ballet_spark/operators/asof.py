@@ -52,30 +52,55 @@ def asof_join(
     ``__matched_ts`` (timestamp of the matched right row, NULL if no
     match / outside tolerance).
     """
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     value_cols = list(value_cols)
+    _check_collisions(left, value_cols, suffix)
 
-    right_types = dict(right.dtypes)
     left_cols = [c for c in left.columns if c not in (on, left_ts)]
     left_types = dict(left.dtypes)
 
-    # Widened union schema: (entity, __ts, __side, left cols…, value cols…)
+    # MATCHED-ROW semantics: the right row's (ts, values) travel as ONE
+    # struct, so a NULL field in the matched (latest) row stays NULL —
+    # per-column last(ignorenulls) would resurrect that field from an
+    # OLDER right row, diverging from merge_asof and from the broadcast
+    # path. The struct also makes same-instant ties deterministic: the
+    # window orders by (__ts, __side, __vals), so among equal-ts right
+    # rows the max value tuple wins — exactly what the broadcast path's
+    # sort_array + element_at(-1) picks.
+    vals_type = StructType(
+        [StructField("__mts", TimestampType())]
+        + [StructField(v, right.schema[v].dataType) for v in value_cols]
+    )
+    # order on a COMMON __ts type: when the two ts columns' types
+    # differ, unionByName would coerce (e.g. timestamp ∪ string →
+    # string) and the as-of ordering silently turns lexicographic —
+    # cast both to timestamp instead. The probe's ORIGINAL left_ts
+    # column is carried through untouched either way.
+    same_ts_type = left.schema[left_ts].dataType == right.schema[right_ts].dataType
+    lts = F.col(left_ts) if same_ts_type else F.col(left_ts).cast("timestamp")
+    rts = F.col(right_ts) if same_ts_type else F.col(right_ts).cast("timestamp")
+
     l2 = left.select(
         F.col(on),
-        F.col(left_ts).alias("__ts"),
+        lts.alias("__ts"),
         F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__lts"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right_types[v]).alias(f"__v_{v}") for v in value_cols],
-        F.lit(None).cast("timestamp").alias("__rts"),
+        F.lit(None).cast(vals_type).alias("__vals"),
     )
     r2 = right.select(
         F.col(on),
-        F.col(right_ts).alias("__ts"),
+        rts.alias("__ts"),
         F.lit(0).alias("__side"),
+        F.lit(None).cast(dict(left.dtypes)[left_ts]).alias("__lts"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_cols],
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
-        F.col(right_ts).cast("timestamp").alias("__rts"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__mts"),
+            *[F.col(v).alias(v) for v in value_cols],
+        ).alias("__vals"),
     )
 
     unioned = l2.unionByName(r2)
@@ -83,19 +108,15 @@ def asof_join(
     # row sees same-instant right rows (inclusive as-of).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__vals"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w).alias(f"__f_{v}")
-            for v in value_cols
-        ],
-        F.last(F.col("__rts"), ignorenulls=True).over(w).alias("__matched_ts"),
+        "*", F.last(F.col("__vals"), ignorenulls=True).over(w).alias("__m")
     )
 
     probe = filled.filter(F.col("__side") == 1)
+    m = F.col("__m")
     if tolerance_s is not None:
         # cast("double") keeps sub-second precision (fixture timestamps
         # carry microseconds) and matches the oracle's exact epoch();
@@ -103,35 +124,29 @@ def asof_join(
         # gaps near the tolerance boundary
         in_tol = (
             F.col("__ts").cast("timestamp").cast("double")
-            - F.col("__matched_ts").cast("double")
+            - m["__mts"].cast("double")
         ) <= F.lit(float(tolerance_s))
-        probe = probe.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"__f_{v}"))
-                .otherwise(F.lit(None))
-                .alias(f"__t_{v}")
-                for v in value_cols
-            ],
-            F.when(in_tol, F.col("__matched_ts")).alias("__matched_ts_tol"),
-        )
-        out_val = [
-            F.col(f"__t_{v}").alias(f"{v}{suffix}") for v in value_cols
-        ]
-        matched = F.col("__matched_ts_tol").alias("__matched_ts")
-    else:
-        out_val = [
-            F.col(f"__f_{v}").alias(f"{v}{suffix}") for v in value_cols
-        ]
-        matched = F.col("__matched_ts")
+        m = F.when(in_tol, F.col("__m"))
 
     return probe.select(
         F.col(on),
-        F.col("__ts").alias(left_ts),
+        F.col("__lts").alias(left_ts),
         *[F.col(c) for c in left_cols],
-        *out_val,
-        matched,
+        *[m[v].alias(f"{v}{suffix}") for v in value_cols],
+        m["__mts"].alias("__matched_ts"),
     )
+
+
+def _check_collisions(left: DataFrame, value_cols, suffix: str) -> None:
+    """Fail loudly when the suffixed value columns would duplicate a
+    left column name — a silent duplicate makes every later by-name
+    reference raise AMBIGUOUS_REFERENCE far from the cause."""
+    dup = {f"{v}{suffix}" for v in value_cols} & set(left.columns)
+    if dup:
+        raise ValueError(
+            f"right value column(s) {sorted(dup)} collide with left "
+            f"columns; pass suffix= (or value_cols=) to disambiguate"
+        )
 
 
 def asof_join_broadcast(
@@ -162,6 +177,7 @@ def asof_join_broadcast(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     value_cols = list(value_cols)
+    _check_collisions(left, value_cols, suffix)
 
     hist = right.groupBy(F.col(on)).agg(
         F.sort_array(

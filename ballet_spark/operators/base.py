@@ -91,7 +91,10 @@ class SubsetTransformer(SparkTransformer):
         if isinstance(self.input, str):
             return [self.input]
         if callable(self.input) and not isinstance(self.input, (list, tuple)):
-            return list(self.input(df_or_none))
+            got = self.input(df_or_none)
+            # a selector returning one name must not explode into
+            # characters (same guard as Feature.resolve_input)
+            return [got] if isinstance(got, str) else list(got)
         return list(self.input)
 
     def fit(self, df, cols, ctx, y=None):
@@ -144,7 +147,12 @@ class TransformerPipeline(SparkTransformer):
             return df.select("*", *[e.alias(n) for e, n in zip(exprs, names)]), names
         cur_df, cur_cols = df, list(cols)
         for i, step in enumerate(self.steps):
-            nm = alias if i == len(self.steps) - 1 else f"__{alias}_s{i}"
+            # intermediates MUST reuse the fit-time aliases (__pipe{i}):
+            # stateful df-path steps key their params by the column
+            # names they were fitted on, so step k+1's input names have
+            # to match between fit and transform; only the final step's
+            # OUTPUT takes the caller's alias
+            nm = alias if i == len(self.steps) - 1 else f"__pipe{i}"
             cur_df, cur_cols = step.transform_df(cur_df, cur_cols, nm, ctx)
         return cur_df, cur_cols
 

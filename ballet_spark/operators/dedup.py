@@ -19,6 +19,16 @@ Scale design notes:
   banded into LSH buckets (JVM exprs); candidates = pairs sharing a
   band bucket, then exact-verified from the SAME persisted hash arrays.
   Shuffles scale linearly in corpus size, never quadratically.
+
+Cache contract: the pair generators persist their shared intermediates
+(gram-hash arrays, banded signatures, SRP buckets) because BOTH
+self-join sides and the verify stage reference them; the returned
+DataFrames stay lazy, so those blocks back the result until the caller
+is done with it. Unpersisting inside the function would silently
+recompute the whole signature DAG per reference. Callers running many
+dedup jobs in one session should ``spark.catalog.clearCache()``
+between them (the bench does exactly this) or persist+collect the pair
+set and clear.
 """
 
 from __future__ import annotations

@@ -127,7 +127,11 @@ class QuantileTransformer(AggFittedTransformer):
             ).otherwise(F.lit(0.0))
             expr = F.when(e <= hi, frac).otherwise(expr)
         expr = F.when(e < p["q0"], F.lit(0.0)).otherwise(expr)
-        return F.least(F.greatest(expr, F.lit(0.0)), F.lit(1.0))
+        clipped = F.least(F.greatest(expr, F.lit(0.0)), F.lit(1.0))
+        # NULL/NaN inputs propagate (sklearn semantics) — every when()
+        # condition above is NULL-false, so without the guard missing
+        # values would fall through to the 1.0 base case
+        return F.when(e.isNull() | F.isnan(e), e).otherwise(clipped)
 
 
 def yeo_johnson_expr(e, lmbda: float):

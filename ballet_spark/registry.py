@@ -44,9 +44,15 @@ class FeatureRegistry:
             raise RegistrationError(
                 f"{feature_id!r}: expected a Feature, got {type(feature).__name__}"
             )
-        feature.source = feature_id  # provenance stamp (ballet/contrib.py)
-        self.features[feature_id] = feature
-        return feature
+        # stamp a COPY: mutating the caller's object would silently
+        # re-stamp provenance if the same Feature is registered twice
+        # (both registry entries would then claim the second id)
+        import dataclasses
+
+        stamped = dataclasses.replace(feature)
+        stamped.source = feature_id  # provenance stamp (ballet/contrib.py)
+        self.features[feature_id] = stamped
+        return stamped
 
     def collect(self, owner: str | None = None) -> list[Feature]:
         """All features (optionally one owner's) in registration order

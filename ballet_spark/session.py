@@ -28,8 +28,18 @@ def ship_package(spark: SparkSession) -> None:
     import ballet_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(ballet_spark.__file__))
-    stamp = os.path.join(tempfile.gettempdir(), "ballet_spark_pyfiles")
-    zip_path = shutil.make_archive(stamp, "zip", os.path.dirname(pkg_dir), "ballet_spark")
+    # pid-unique path: a fixed shared name races concurrent processes
+    # (one truncates the zip while another's addPyFile copies it,
+    # shipping a corrupt/mismatched package to executors). Built once
+    # per process, reused by later sessions in the same process.
+    stamp = os.path.join(
+        tempfile.gettempdir(), f"ballet_spark_pyfiles_{os.getpid()}"
+    )
+    zip_path = stamp + ".zip"
+    if not os.path.exists(zip_path):
+        zip_path = shutil.make_archive(
+            stamp, "zip", os.path.dirname(pkg_dir), "ballet_spark"
+        )
     spark.sparkContext.addPyFile(zip_path)
 
 

@@ -83,9 +83,20 @@ def validate_feature(
     n_in = sample.count()
     out = {}
 
+    def _force_count(df) -> int:
+        """Row count that EVALUATES every column: a bare count() lets
+        Catalyst prune the feature expressions entirely, so runtime
+        errors inside them (raise_error on unseen groups, bad casts,
+        UDF crashes) would never fire and the check would false-pass."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.count(F.col(c)).alias(f"__c{i}") for i, c in enumerate(df.columns)],
+        ).first()
+        return row["__n"]
+
     def _transform():
         out["df"] = state["fitted"].transform(sample)
-        out["n"] = out["df"].count()
+        out["n"] = _force_count(out["df"])
 
     if not check("can_transform", _transform):
         return CheckResult(False, failures)
@@ -95,15 +106,24 @@ def validate_feature(
 
     check(
         "can_transform_one_row",
-        lambda: state["fitted"].transform(one).count(),
+        lambda: _force_count(state["fitted"].transform(one)),
     )
 
-    # transform new/unseen rows (fit-on-train discipline)
-    holdout = sample.orderBy(F.rand(7)).limit(max(1, n_in // 5))
-    check(
-        "can_transform_new_rows",
-        lambda: state["fitted"].transform(holdout).count(),
-    )
+    # transform GENUINELY unseen rows (fit-on-train discipline): fit a
+    # fresh copy on ~4/5 of entities and transform the held-out 1/5 —
+    # a random subset of already-fitted rows would never catch
+    # params-join operators that fail on unseen groups/entities
+    bucket = F.pmod(F.xxhash64(F.coalesce(F.col(entity_col).cast("string"), F.lit(""))), F.lit(5))
+    fit_part = sample.filter(bucket != 0)
+    new_part = sample.filter(bucket == 0)
+
+    def _transform_new():
+        if fit_part.limit(1).count() == 0 or new_part.limit(1).count() == 0:
+            return  # degenerate sample: nothing to hold out
+        state["fitted_part"] = pipe.fit(fit_part, y=y)
+        _force_count(state["fitted_part"].transform(new_part))
+
+    check("can_transform_new_rows", _transform_new)
 
     # no NaN / inf / all-null outputs (checks.py:214-235)
     feat_cols = [c for c in out["df"].columns if c not in (entity_col, time_col)]
@@ -123,9 +143,14 @@ def validate_feature(
         for c in num_cols:
             if bad[c] and bad[c] > 0:
                 failures.append(f"has_nan_or_inf: column {c} ({bad[c]} rows)")
-    for c in feat_cols:
-        nn = out["df"].filter(F.col(c).isNotNull()).limit(1).count()
-        if nn == 0 and n_in > 0:
-            failures.append(f"all_null_output: column {c}")
+    # all-null outputs: ONE aggregation job for every column (a
+    # filter/limit/count per column would launch q separate actions)
+    if feat_cols and n_in > 0:
+        nn = out["df"].agg(
+            *[F.count(F.col(c)).alias(c) for c in feat_cols]
+        ).first()
+        for c in feat_cols:
+            if nn[c] == 0:
+                failures.append(f"all_null_output: column {c}")
 
     return CheckResult(not failures, failures)

@@ -209,6 +209,8 @@ def shannon_entropy_spark(df, cols) -> float:
         F.sum(F.col("n") * F.log(F.col("n"))).alias("nlogn"),
     ).first()
     n = row["total"]
+    if not n:  # empty input: sum() aggregates to NULL; H(∅) := 0
+        return 0.0
     # H = log(N) - (1/N) Σ n_k log n_k
     return float(np.log(n) - row["nlogn"] / n)
 

@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     p.add_argument("--units", type=int, default=64)
     p.add_argument("--generate-pages", type=int, default=0)
     args = p.parse_args(argv)
+    if not args.input and not args.generate_pages:
+        # fail with a usage message BEFORE a SparkSession spins up —
+        # read.parquet(None) would otherwise die with an obscure py4j
+        # error minutes into cluster startup
+        p.error("one of --input or --generate-pages is required")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

@@ -15,7 +15,9 @@ def test_registry_rules():
     f = Feature("text", None, output="tl")
     reg.register("alice/feature_text_len", f)
     assert "alice/feature_text_len" in reg
-    assert f.source == "alice/feature_text_len"
+    # register stamps a COPY (caller's object keeps its provenance)
+    assert f.source == ""
+    assert reg.features["alice/feature_text_len"].source == "alice/feature_text_len"
     with pytest.raises(RegistrationError, match="already registered"):
         reg.register("alice/feature_text_len", Feature("text", None))
     with pytest.raises(RegistrationError, match="must match"):
