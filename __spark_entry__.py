@@ -1179,6 +1179,25 @@ def gopher_quality_filter(spark, sf_dir):
     return gopher_filter(docs, min_words=40, max_mean_word_len=4.6)
 
 
+def repetition_filter_docs(spark, sf_dir):
+    """Gopher repetition rules (most-frequent-2-gram fraction +
+    duplicate-5-gram fraction) — one Arrow-batched kernel, per-doc
+    counters, no shuffle; oracle replays the counting with DuckDB
+    unnest + GROUP BY."""
+    from ballet_spark.functions.text import repetition_metrics
+
+    out = repetition_metrics(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+        # Gopher gate: ≤0.20 most-common-2-gram, ≤0.30 dup-5-grams
+        (
+            (F.col("top_2gram_frac") <= 0.20) & (F.col("dup_5gram_frac") <= 0.30)
+        ).alias("keep"),
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1278,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": embedding_ivf_topk,
         "curation_pipeline": curation_pipeline,
         "gopher_quality_filter": gopher_quality_filter,
+        "repetition_filter_docs": repetition_filter_docs,
     }
 
 
@@ -2092,6 +2112,38 @@ def _generated_oracles() -> dict[str, str]:
                 AND alpha_word_frac >= 0.80
                 AND symbol_word_ratio <= 0.10) AS keep
         FROM m
+    """
+
+    out["repetition_filter_docs"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '')
+                       AS words
+            FROM documents),
+        g2 AS (
+            SELECT doc_id,
+                   unnest([words[i] || ' ' || words[i+1]
+                           for i in range(1, len(words))]) AS gram
+            FROM s WHERE len(words) >= 2),
+        c2 AS (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, max(n)::DOUBLE / sum(n) AS top FROM c2 GROUP BY 1),
+        g5 AS (
+            SELECT doc_id,
+                   unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           || ' ' || words[i+3] || ' ' || words[i+4]
+                           for i in range(1, len(words) - 3)]) AS gram
+            FROM s WHERE len(words) >= 5),
+        c5 AS (SELECT doc_id, gram, count(*) AS n FROM g5 GROUP BY 1, 2),
+        t5 AS (SELECT doc_id,
+                      sum(CASE WHEN n > 1 THEN n ELSE 0 END)::DOUBLE / sum(n)
+                          AS dup
+               FROM c5 GROUP BY 1)
+        SELECT s.doc_id,
+               round(coalesce(t2.top, 0.0), 6) AS top_2gram_frac,
+               round(coalesce(t5.dup, 0.0), 6) AS dup_5gram_frac,
+               (coalesce(t2.top, 0.0) <= 0.20
+                AND coalesce(t5.dup, 0.0) <= 0.30) AS keep
+        FROM s LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id)
     """
 
     out["stratified_sample_docs"] = """

@@ -362,3 +362,68 @@ def gopher_filter(df, text_col: str = "text", id_cols=("doc_id",), **overrides):
         & (F.col("symbol_word_ratio") <= t["max_symbol_word_ratio"])
     )
     return m.select("*", keep.cast("boolean").alias("keep"))
+
+
+def repetition_metrics(
+    df,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    top_n: int = 2,
+    dup_n: int = 5,
+):
+    """Gopher repetition rules (Rae et al. 2021 table A1, occurrence
+    form): per document,
+
+    - ``top_{top_n}gram_frac`` — occurrences of the MOST FREQUENT word
+      ``top_n``-gram / total ``top_n``-grams (boilerplate detector);
+    - ``dup_{dup_n}gram_frac`` — fraction of ``dup_n``-gram occurrences
+      whose gram appears more than once (templated-text detector).
+
+    One Arrow-batched kernel, no shuffle: each doc's counters live
+    entirely in its batch (Counter over the token ngrams), so the
+    operator is a pure map like :func:`gopher_metrics` — the explode +
+    per-doc groupBy formulation would shuffle every gram occurrence of
+    a 100 TB corpus twice for a per-doc statistic. The same counting is
+    replayed exactly by the DuckDB oracle's unnest + GROUP BY."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def _kernel(text: pd.Series) -> pd.DataFrame:
+        def _one(t):
+            if t is None:
+                return (0.0, 0.0)
+            toks = t.split()
+
+            def frac(n, mode):
+                if len(toks) < n:
+                    return 0.0
+                grams = Counter(
+                    tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                total = sum(grams.values())
+                if mode == "top":
+                    return max(grams.values()) / total
+                dup = sum(c for c in grams.values() if c > 1)
+                return dup / total
+
+            # RAW fractions — rounding happens in the caller's Spark
+            # expression so both engines round identically (Python
+            # round() is banker's, Spark/DuckDB round half-up)
+            return (frac(top_n, "top"), frac(dup_n, "dup"))
+
+        pairs = text.map(_one)
+        # struct return type ⇒ the kernel must yield a DataFrame whose
+        # columns are the struct fields
+        return pd.DataFrame(
+            {"top": pairs.map(lambda p: p[0]), "dup": pairs.map(lambda p: p[1])}
+        )
+
+    out_type = "struct<top:double, dup:double>"
+    udf = F.pandas_udf(_kernel, out_type)
+    base = df.select(*[F.col(c) for c in id_cols], udf(F.col(text_col)).alias("__r"))
+    return base.select(
+        *[F.col(c) for c in id_cols],
+        F.col("__r.top").alias(f"top_{top_n}gram_frac"),
+        F.col("__r.dup").alias(f"dup_{dup_n}gram_frac"),
+    )

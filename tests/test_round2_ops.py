@@ -184,3 +184,28 @@ def test_gopher_rules_on_synthetic_docs(spark):
     assert out[5]["symbol_word_ratio"] == 0.8 and out[5]["keep"] is False
     assert out[6]["alpha_word_frac"] == 0.0 and out[6]["keep"] is False
     assert out[7]["n_words"] == 0 and out[7]["keep"] is False
+
+
+def test_repetition_metrics_planted(spark):
+    """Planted boilerplate: 'buy now ' x20 has top-2-gram frac near 1
+    and full 5-gram duplication; varied prose scores near 0 on both."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["buy", "now"] * 20)),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "one two"),   # too short for 5-grams
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[1]["top_2gram_frac"] > 0.5
+    assert out[1]["dup_5gram_frac"] == 1.0
+    assert out[2]["top_2gram_frac"] < 0.2
+    assert out[2]["dup_5gram_frac"] == 0.0
+    assert out[3]["dup_5gram_frac"] == 0.0  # no 5-grams -> 0, not crash
+    assert out[4]["top_2gram_frac"] == 0.0  # NULL text
