@@ -82,12 +82,36 @@ def _backfill_matrix(spark, path: str):
     return FeatureEngineeringPipeline(feats).fit(pages).transform(pages)
 
 
+def sink(df) -> int:
+    """Timing sink that EVALUATES every output column: a bare count()
+    lets Catalyst prune the operator under test right out of the plan
+    (a windowed/projected column unused by count(*) simply isn't
+    computed), so count-timed numbers would measure a near-empty scan.
+    One xxhash64 over all columns + sum forces full evaluation — the
+    same defense backfill_compute uses."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("d"),
+    ).first()
+    return int(row["n"])
+
+
 def backfill(spark, path: str, out_path: str) -> int:
     """End-to-end feature backfill: pipeline + parquet write. Returns
-    rows. (Throughput metric for the default bench.)"""
+    rows written, WITHOUT re-reading the output — the re-scan isn't
+    part of pipeline+write throughput. The count comes from the same
+    job via observe()."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     matrix = _backfill_matrix(spark, path)
-    matrix.write.mode("overwrite").parquet(out_path)
-    return spark.read.parquet(out_path).count()
+    obs = Observation()
+    matrix.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return int(obs.get["n"])
 
 
 def backfill_compute(spark, path: str) -> int:
@@ -140,7 +164,7 @@ def asof_bench(spark, path: str) -> int:
         "url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
     )
     j = asof_join(probes, feats, on="url", left_ts="ts", right_ts="warc_ts")
-    return j.count()
+    return sink(j)
 
 
 def headline_queries(spark, sf_dir):
@@ -177,7 +201,7 @@ def headline_queries(spark, sf_dir):
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            qs[n](spark, sf_dir).count()
+            sink(qs[n](spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
             # drop caches (e.g. minhash's persisted band table) so later
@@ -222,7 +246,10 @@ def run_default():
     timings = {}
 
     n_docs, best = 0, None
-    for _ in range(2):  # best of 2 — see headline_queries
+    # best of 2 (not 3 as in headline_queries): the backfill rep is the
+    # single most expensive item and includes a full parquet write, so
+    # a third rep buys little noise reduction for its cost
+    for _ in range(2):
         t0 = time.perf_counter()
         n_docs = backfill(spark, path, "/tmp/ballet_spark_matrix.parquet")
         dt = time.perf_counter() - t0
@@ -266,10 +293,11 @@ def _scaling_level(cpus: int, reps: int = 2) -> dict:
     the parallelism level or it confounds the measurement."""
     import subprocess
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     best = None
     for _ in range(reps):
         code = (
-            "import sys, time, json; sys.path.insert(0, '/root/repo');\n"
+            f"import sys, time, json; sys.path.insert(0, {repo_dir!r});\n"
             "from ballet_spark.session import get_spark\n"
             "import bench\n"
             f"spark = get_spark(app_name='scale{cpus}', master='local[{cpus}]',"
@@ -318,10 +346,13 @@ def run_scaling():
     scale_pages = int(os.environ.get("BENCH_SCALING_PAGES", "400000"))
     os.environ["BENCH_WEBTEXT_PAGES"] = str(scale_pages)
 
+    # EQUAL reps at every level: best-of-2 at one level vs a single
+    # draw at another would bias the pass/fail efficiency ratio on a
+    # VM with documented noisy-neighbor windows
     results = {
-        2: _scaling_level(2, reps=1),
+        2: _scaling_level(2, reps=2),
         8: _scaling_level(8, reps=2),
-        32: _scaling_level(32, reps=1),
+        32: _scaling_level(32, reps=2),
     }
     eff_primary = results[8]["docs_per_sec"] / results[2]["docs_per_sec"] / 4.0
     eff_wide = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4.0
