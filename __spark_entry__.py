@@ -440,6 +440,37 @@ def minhash_lsh_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def incremental_minhash_dups(spark, sf_dir):
+    """Two-snapshot incremental ingest: seed the persistent LSH index
+    with even doc_ids, then dedup the odd batch against itself AND the
+    index (never re-shingling snapshot 1). The pytest equivalence test
+    proves incremental == one-shot, so the oracle is the SAME exact
+    n-gram Jaccard pair set as `minhash_lsh_dups` — a pair split
+    across the snapshot boundary must still be found."""
+    from ballet_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_lsh_index(first, num_hashes=64, bands=16)
+    p1 = minhash_lsh_pairs(first, num_hashes=64, bands=16, threshold=0.8)
+    p2, _ = minhash_lsh_pairs_incremental(
+        second, idx, num_hashes=64, bands=16, threshold=0.8
+    )
+    both = p1.select("id_a", "id_b", "jaccard").unionByName(
+        p2.select("id_a", "id_b", "jaccard")
+    )
+    return both.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
 def simhash_dups(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 10 of 64 bits). Token hash is
     md5-first-8-bytes, reproducible in DuckDB, so the oracle recomputes
@@ -1257,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_lsh_dups": minhash_lsh_dups,
+        "incremental_minhash_dups": incremental_minhash_dups,
         "simhash_dups": simhash_dups,
         "embedding_topk": embedding_topk,
         "embedding_neardups": embedding_neardups,
@@ -1516,6 +1548,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.1
         """,
         "minhash_lsh_dups": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)]) AS grams
+                FROM toks WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, len(grams) AS n FROM docs),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(shared::DOUBLE / (sa.n + sb.n - shared), 4) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8
+        """,
+        "incremental_minhash_dups": """
             WITH toks AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
             docs AS (

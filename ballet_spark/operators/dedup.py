@@ -550,3 +550,149 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash+LSH: dedup a NEW batch against an existing
+    signature index WITHOUT re-shingling the corpus.
+
+    ``index`` is the persisted output of :func:`minhash_lsh_index` for
+    everything already ingested — at 10^12 docs the index is the only
+    thing that survives between snapshots; re-tokenizing the full
+    corpus per batch would dominate every ingest. Candidates are
+    (a) new×new pairs within the batch and (b) new×old pairs sharing a
+    band bucket with the index; both verify with exact Jaccard on the
+    batch's gram arrays vs the index's stored gram hashes.
+
+    Returns ``(pairs, new_index_rows)``: ``pairs`` has
+    (id_a, id_b, jaccard, vs) with ``vs`` ∈ {'new', 'index'};
+    ``new_index_rows`` is the batch's index rows to append (same
+    schema as ``index``), so successive ingests compose:
+    ``index = index.unionByName(new_index_rows)``.
+
+    Scale shape: the batch is shingled ONCE; the index side ships only
+    (id, band, bucket) plus gram arrays for verified candidates; every
+    join is a bucket equi-join (linear), never all-pairs. Same
+    banding/permutation math as :func:`minhash_lsh_pairs` — a pair
+    split across a snapshot boundary is found iff the one-shot batch
+    job would have found it."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    hs = gram_hashes(new_df, id_col, text_col, shingle_n).persist()
+    hs.count()
+    sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    banded = banded.persist()
+    banded.count()
+
+    # new×new within the batch
+    a, b = banded.alias("a"), banded.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ha = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
+    hb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = (
+        inter.cast("double")
+        / (F.size("ha") + F.size("hb") - inter).cast("double")
+    ).alias("jaccard")
+    nn_pairs = (
+        nn.join(ha, "id_a").join(hb, "id_b")
+        .select("id_a", "id_b", jac, F.lit("new").alias("vs"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+    # new×index across the snapshot boundary (index rows are already
+    # banded — only their (id, band, bucket) join key moves until a
+    # candidate's gram hashes are needed for the verify)
+    ib = index.select(
+        F.col("id").alias("id_b"), F.col("band"), F.col("bucket")
+    )
+    ni = (
+        banded.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(ib, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ihs = index.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")).distinct()
+    ni_pairs = (
+        ni.join(ha, "id_a").join(ihs, "id_b")
+        .select("id_a", "id_b", jac, F.lit("index").alias("vs"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+    new_index = banded.select("id", "band", "bucket").join(
+        hs.select("id", "hs"), "id"
+    )
+    return nn_pairs.unionByName(ni_pairs), new_index
+
+
+def minhash_lsh_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the persistent LSH index rows (id, band, bucket, hs) for a
+    corpus — the seed input for :func:`minhash_lsh_pairs_incremental`.
+    Write it partitioned/bucketed by ``bucket`` at scale so incremental
+    probes prune to the touched buckets."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    pairs, idx = minhash_lsh_pairs_incremental(
+        df,
+        index=df.sparkSession.createDataFrame(
+            [], f"id {id_type}, band int, bucket long, hs array<long>"
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+    )
+    return idx

@@ -209,3 +209,44 @@ def test_repetition_metrics_planted(spark):
     assert out[2]["dup_5gram_frac"] == 0.0
     assert out[3]["dup_5gram_frac"] == 0.0  # no 5-grams -> 0, not crash
     assert out[4]["top_2gram_frac"] == 0.0  # NULL text
+
+
+def test_incremental_minhash_equals_one_shot(spark):
+    """Ingesting a corpus in two snapshots through the incremental LSH
+    index finds EXACTLY the pairs the one-shot batch job finds — a
+    pair split across the snapshot boundary is never lost."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    kw = dict(num_hashes=32, bands=8, threshold=0.3)
+    want = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, **kw).collect()
+    }
+    assert want, "fixture must contain near-dup pairs for this test to bite"
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    # snapshot 1: seed the index (num_hashes/bands must match later use)
+    idx = minhash_lsh_index(first, num_hashes=32, bands=8)
+    p1 = minhash_lsh_pairs(first, **kw)  # within-snapshot-1 pairs
+    # snapshot 2: batch vs itself + batch vs index
+    p2, idx_rows = minhash_lsh_pairs_incremental(second, idx, **kw)
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), round(r["jaccard"], 9))
+        for r in p1.collect() + p2.select("id_a", "id_b", "jaccard").collect()
+    }
+    assert got == want
+    # the appended index composes to the full corpus index
+    assert idx.unionByName(idx_rows).count() == minhash_lsh_index(
+        docs, num_hashes=32, bands=8
+    ).count()
