@@ -508,7 +508,11 @@ def embedding_neardup_pairs(
     planted near-duplicates. ``exact=True`` is the all-pairs escape
     hatch for small-corpus audits ONLY (quadratic join — never the
     default)."""
-    from ballet_spark.operators.similarity import cosine_expr, lsh_bucket_tables
+    from ballet_spark.operators.similarity import (
+        cosine_expr,
+        cosine_udf,
+        lsh_bucket_tables,
+    )
 
     a_ids = F.col("id_a")
     if exact:
@@ -542,11 +546,13 @@ def embedding_neardup_pairs(
     )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # verify with the vectorized kernel: candidates are 10^5+ pairs and
+    # the interpreted HOF fold costs ~dim lambda steps per pair
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            a_ids, "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+            a_ids, "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -221,3 +221,36 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + {upper}"))
     )
     return l.join(r, cond)
+
+
+def stream_asof_features(
+    probes: DataFrame,
+    features: DataFrame,
+    on: str = "url",
+    left_ts: str = "ts",
+    right_ts: str = "warc_ts",
+    value_cols=None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """ONLINE point-in-time feature serving: a probe STREAM joined
+    as-of against a compact BATCH feature table.
+
+    Reuses :func:`ballet_spark.operators.asof.asof_join_broadcast`
+    unchanged — that path is stateless per probe row (the feature
+    history collapses to one broadcast array per entity and each row
+    picks its latest-eligible element with a higher-order expression),
+    so it is legal in a stream-static join: no watermark, no state
+    store, identical results to the batch path row for row. This is
+    the serving half of offline/online parity — the SAME operator
+    computes the backfill matrix and answers streaming probes."""
+    from ballet_spark.operators.asof import asof_join_broadcast
+
+    return asof_join_broadcast(
+        probes,
+        features,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=value_cols,
+        tolerance_s=tolerance_s,
+    )

@@ -212,3 +212,50 @@ def test_running_features_null_mean_and_event_time_carry(spark, tmp_path):
     assert got["mean_value"] == pytest.approx(20.0)
     # 'fr' (09:00) arrived after 'en' (11:00) but must NOT win the carry
     assert got["last_val"] == "en"
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Streaming probes through stream_asof_features return row-for-row
+    what the batch as-of join returns on the same probes."""
+    import pandas as pd
+
+    from ballet_spark.operators.asof import asof_join_broadcast
+    from ballet_spark.streaming.stream_features import stream_asof_features
+
+    base = pd.Timestamp("2026-02-01 00:00:00")
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["a", "a", "b"],
+                "warc_ts": [base, base + pd.Timedelta(hours=2), base],
+                "text_len": [10.0, 20.0, 7.0],
+            }
+        )
+    )
+    probes_pdf = pd.DataFrame(
+        {
+            "url": ["a", "a", "b", "c"],
+            "ts": [
+                base + pd.Timedelta(hours=1),
+                base + pd.Timedelta(hours=3),
+                base + pd.Timedelta(minutes=30),
+                base + pd.Timedelta(hours=1),
+            ],
+        }
+    )
+    src = str(tmp_path / "probes")
+    spark.createDataFrame(probes_pdf).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_asof_features(stream, feats)
+    run_stream_to_memory(out, "asof_serve", "append")
+    got = sorted(map(tuple, spark.sql("select * from asof_serve").collect()))
+    want = sorted(
+        map(tuple, asof_join_broadcast(spark.read.parquet(src), feats).collect())
+    )
+    assert got == want
+    # spot semantics: probe a@1h sees 10.0, a@3h sees 20.0, c matches nothing
+    by = {(r[0], r[1]): r[2] for r in got}
+    assert by[("a", probes_pdf["ts"][0])] == 10.0
+    assert by[("a", probes_pdf["ts"][1])] == 20.0
+    assert by[("c", probes_pdf["ts"][3])] is None
