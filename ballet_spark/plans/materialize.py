@@ -49,6 +49,14 @@ LINEAGE_SCHEMA = (
     "row_count long, digest long, completed_at double"
 )
 
+# north-rule lineage granularity: one row per (feature id, snapshot,
+# unit) — the per-FEATURE digest catches a single feature column
+# regressing inside an otherwise-identical unit
+FEATURE_LINEAGE_SCHEMA = (
+    "feature_set string, feature string, input_snapshot string, "
+    "unit int, digest long, completed_at double"
+)
+
 
 def feature_set_id(features: Sequence) -> str:
     """Stable id of the feature list: name/alias/input PLUS the
@@ -154,6 +162,7 @@ def materialize(
     fail_after_units: int | None = None,
     y: str | None = None,
     units_per_batch: int | None = None,
+    feature_lineage_path: str | None = None,
 ) -> dict:
     """Materialize the feature matrix in resumable units.
 
@@ -216,12 +225,22 @@ def materialize(
             .withColumn("unit", _unit_expr(entity_col, n_units))
         )
         feat_cols = [c for c in matrix.columns if c not in ("unit", "snapshot")]
+        # per-FEATURE digest columns (north rule: lineage keyed by
+        # feature id): the feature outputs are every matrix column that
+        # is not a key/bookkeeping column
+        out_cols = [
+            c for c in feat_cols if c not in (entity_col, time_col)
+        ] if feature_lineage_path is not None else []
         obs = Observation()
         exprs = []
         for u in batch:
             hit = F.col("unit") == u
             exprs.append(F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{u}"))
             exprs.append(F.sum(F.when(hit, row_hash(feat_cols))).alias(f"d_{u}"))
+            for c in out_cols:
+                exprs.append(
+                    F.sum(F.when(hit, row_hash([c]))).alias(f"f_{u}__{c}")
+                )
         observed = matrix.observe(obs, *exprs)
         # dynamic partition overwrite: recomputing a unit REPLACES its
         # directory (idempotent) — a crash between this commit and the
@@ -246,6 +265,16 @@ def materialize(
         spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
             "append"
         ).parquet(lineage_path)
+        if feature_lineage_path is not None and out_cols:
+            frows = [
+                (fset, c, input_snapshot, u,
+                 fold_digest(metrics[f"f_{u}__{c}"]), now)
+                for u in batch
+                for c in out_cols
+            ]
+            spark.createDataFrame(frows, FEATURE_LINEAGE_SCHEMA).write.mode(
+                "append"
+            ).parquet(feature_lineage_path)
         n_done += len(batch)
 
     return {

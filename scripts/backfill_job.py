@@ -19,8 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# on a cluster --py-files ships the package; running straight from a
+# checkout (CI, local smoke) needs the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -43,6 +48,13 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("ballet_spark_backfill").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    # harmless when --py-files already shipped the package; required
+    # when running straight from a checkout (executor workers don't
+    # inherit the driver's sys.path)
+    from ballet_spark.session import ship_package
+
+    ship_package(spark)
 
     from ballet_spark.core import Feature
     from ballet_spark.functions.text import (
@@ -87,6 +99,7 @@ def main(argv=None) -> int:
         lineage_path=args.lineage,
         input_snapshot=args.snapshot,
         n_units=args.units,
+        feature_lineage_path=f"{args.lineage}__features",
     )
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(summary))
