@@ -109,3 +109,50 @@ def test_asof_join_broadcast_matches_smj(spark, webtext_df, webtext_pdf):
     assert np.allclose(
         a["text_len"].to_numpy(float), b["text_len"].to_numpy(float), equal_nan=True
     )
+
+
+def test_asof_strategies_agree_on_random_adversarial_inputs(spark):
+    """Window and broadcast paths must return IDENTICAL rows on random
+    inputs engineered for the hard cases: tied timestamps (both within
+    the right side and probe==right), NULL values in matched rows,
+    entities with empty histories, and tolerance cutoffs. This is the
+    invariant the skew splitter relies on to union the two paths."""
+    import numpy as np
+
+    from ballet_spark.operators.asof import asof_join, asof_join_broadcast
+
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        n_r, n_l = 60, 40
+        ents = [f"e{i}" for i in range(6)] + ["lonely"]
+        right_rows = [
+            (
+                str(rng.choice(ents[:6])),          # no history for 'lonely'
+                float(rng.integers(0, 12)),          # coarse grid -> many ties
+                None if rng.random() < 0.25 else float(rng.integers(0, 100)),
+            )
+            for _ in range(n_r)
+        ]
+        left_rows = [
+            (str(rng.choice(ents)), float(rng.integers(0, 14)))
+            for _ in range(n_l)
+        ]
+        right = spark.createDataFrame(
+            right_rows, "url string, rts double, v double"
+        ).select("url", F.timestamp_seconds("rts").alias("rts"), "v")
+        left = spark.createDataFrame(
+            left_rows, "url string, ts double"
+        ).select("url", F.timestamp_seconds("ts").alias("ts")).repartition(5)
+        for tol in (None, 3):
+            a = asof_join(
+                left, right, on="url", left_ts="ts", right_ts="rts",
+                tolerance_s=tol,
+            )
+            b = asof_join_broadcast(
+                left, right, on="url", left_ts="ts", right_ts="rts",
+                tolerance_s=tol,
+            )
+            ra = sorted(map(tuple, a.collect()))
+            rb = sorted(map(tuple, b.collect()))
+            # broadcast path can't match NULL-keyed probes; none here
+            assert ra == rb, (trial, tol)
