@@ -1195,6 +1195,42 @@ def curation_pipeline(spark, sf_dir):
     )
 
 
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style six-table join: revenue by nation for one
+    region/year where customer and supplier share a nation. The scale
+    shape Catalyst should pick (AQE confirms): region/nation/supplier/
+    customer broadcast up the tree, ONE shuffle joins orders↔lineitem
+    on the orderkey, partial aggregation before the final group — the
+    fact table is shuffled once and never by a dimension key."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nat = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def gopher_quality_filter(spark, sf_dir):
     """Gopher/C4-style heuristic curation gate (Rae et al. 2021 table
     A1 rules, thresholds scaled to the short synthetic docs): per-doc
@@ -1330,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "embedding_ivf_topk": embedding_ivf_topk,
         "curation_pipeline": curation_pipeline,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "gopher_quality_filter": gopher_quality_filter,
         "repetition_filter_docs": repetition_filter_docs,
     }
@@ -2118,6 +2155,24 @@ def _generated_oracles() -> dict[str, str]:
         SELECT lang, split, count(*) AS n_docs,
                round(avg(round(quality, 6)), 4) AS avg_quality
         FROM split GROUP BY lang, split
+    """
+
+    out["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
     """
 
     out["gopher_quality_filter"] = """

@@ -285,3 +285,21 @@ def test_gopher_filter_is_shuffle_free_map(spark, pages_parquet):
     assert "Join" not in plan, plan
     for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_q5_broadcasts_dims_single_fact_shuffle(spark):
+    """The six-table Q5 join must broadcast every dimension: the only
+    Exchanges allowed are the orders↔lineitem orderkey join plus the
+    final aggregation/sort — the fact table is never shuffled by a
+    dimension key."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q5_local_supplier_volume"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # hash exchanges: orderkey join sides (2) + partial->final agg (1);
+    # the sort's range exchange is separate. Anything more means a
+    # dimension shuffled the fact table.
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
