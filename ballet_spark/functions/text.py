@@ -336,7 +336,16 @@ def gopher_metrics(df, text_col: str = "text", id_cols=("doc_id",)):
         F.round(frac(ellipsis, n_lines), 6).alias("ellipsis_line_frac"),
         F.round(frac(alpha, n_words), 6).alias("alpha_word_frac"),
         F.round(frac(hashes, n_words), 6).alias("symbol_word_ratio"),
-        F.round(mean_word_len(F.col("__text")), 6).alias("mean_word_len"),
+        # denominator = the SAME filtered word array as n_words (the
+        # convenience mean_word_len() divides by token_count, whose
+        # trim only strips spaces — a trailing newline/tab would add an
+        # empty token and deflate the mean vs the oracle)
+        F.round(
+            frac(
+                F.length(F.regexp_replace(F.col("__text"), r"\s", "")), n_words
+            ),
+            6,
+        ).alias("mean_word_len"),
     )
 
 
@@ -389,11 +398,19 @@ def repetition_metrics(
 
     import pandas as pd
 
+    import re
+
+    # ASCII \s+, matching the Spark-side splits (Java regex) and the
+    # DuckDB oracle (RE2): Python str.split() also breaks on unicode
+    # whitespace (NBSP etc.), which would tokenize scraped web text
+    # differently from every other path
+    ws = re.compile(r"\s+", re.ASCII)
+
     def _kernel(text: pd.Series) -> pd.DataFrame:
         def _one(t):
             if t is None:
                 return (0.0, 0.0)
-            toks = t.split()
+            toks = [w for w in ws.split(t) if w]
 
             def frac(n, mode):
                 if len(toks) < n:

@@ -179,7 +179,26 @@ def asof_join_broadcast(
     value_cols = list(value_cols)
     _check_collisions(left, value_cols, suffix)
 
-    hist = right.groupBy(F.col(on)).agg(
+    hist = entity_history(right, on, right_ts, value_cols)
+    return asof_join_history(
+        left, hist, on, left_ts, value_cols, tolerance_s, suffix
+    )
+
+
+def entity_history(
+    right: DataFrame,
+    on: str = "url",
+    right_ts: str = "warc_ts",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """ONE row per entity holding its time-sorted history as an array
+    of structs — the compact broadcastable state table. Build (and
+    persist) this ONCE when serving many probe batches against the
+    same features (e.g. a probe STREAM: without it every micro-batch
+    re-runs the groupBy+collect aggregation)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    return right.groupBy(F.col(on)).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -189,6 +208,27 @@ def asof_join_broadcast(
             )
         ).alias("__hist")
     )
+
+
+def asof_join_history(
+    left: DataFrame,
+    hist: DataFrame,
+    on: str = "url",
+    left_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tolerance_s: int | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Probe side of the broadcast as-of against a prebuilt
+    :func:`entity_history` table."""
+    if value_cols is None:
+        value_cols = [
+            f.name
+            for f in hist.schema["__hist"].dataType.elementType.fields
+            if f.name != "__hts"
+        ]
+    value_cols = list(value_cols)
+    _check_collisions(left, value_cols, suffix)
     joined = left.join(F.broadcast(hist), on, "left")
     lts = F.col(left_ts).cast("timestamp")
     elig = F.filter(F.col("__hist"), lambda s: s["__hts"] <= lts)

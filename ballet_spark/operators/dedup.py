@@ -290,6 +290,43 @@ def minhash_signatures(
     return hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
 
 
+def _banded_buckets(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bucket) rows from a (id, signature) frame — THE band
+    hashing, shared by the one-shot and incremental paths so an index
+    built by one is always probe-compatible with the other."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _jaccard_expr():
+    """Exact Jaccard from two gram-hash array columns ``ha``/``hb``."""
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        inter.cast("double")
+        / (F.size("ha") + F.size("hb") - inter).cast("double")
+    ).alias("jaccard")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -317,28 +354,7 @@ def minhash_lsh_pairs(
     hs = gram_hashes(df, id_col, text_col, shingle_n).persist()
     hs.count()
     sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", bi * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded_buckets(sig, bands, r)
 
     # persist EAGERLY: the self-join would otherwise recompute the whole
     # signature DAG (explode + 64 min-aggs) once per side — lazy persist
@@ -365,18 +381,10 @@ def minhash_lsh_pairs(
     # O(|candidates|·|grams|), never the all-pairs gram self-join.
     ha = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
     hb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
-    inter = F.size(F.array_intersect("ha", "hb"))
     verified = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                inter.cast("double")
-                / (F.size("ha") + F.size("hb") - inter).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", _jaccard_expr())
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
@@ -560,7 +568,7 @@ def embedding_neardup_pairs(
 
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
-    index: DataFrame,
+    index: "LshIndex",
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
@@ -568,60 +576,39 @@ def minhash_lsh_pairs_incremental(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
-) -> tuple[DataFrame, DataFrame]:
+) -> "tuple[DataFrame, LshIndex]":
     """Incremental MinHash+LSH: dedup a NEW batch against an existing
     signature index WITHOUT re-shingling the corpus.
 
-    ``index`` is the persisted output of :func:`minhash_lsh_index` for
-    everything already ingested — at 10^12 docs the index is the only
-    thing that survives between snapshots; re-tokenizing the full
-    corpus per batch would dominate every ingest. Candidates are
-    (a) new×new pairs within the batch and (b) new×old pairs sharing a
-    band bucket with the index; both verify with exact Jaccard on the
-    batch's gram arrays vs the index's stored gram hashes.
+    ``index`` is the persisted :class:`LshIndex` from
+    :func:`minhash_lsh_index` for everything already ingested — at
+    10^12 docs the index is the only thing that survives between
+    snapshots; re-tokenizing the full corpus per batch would dominate
+    every ingest. Candidates are (a) new×new pairs within the batch
+    and (b) new×old pairs sharing a band bucket with the index; both
+    verify with exact Jaccard on the batch's gram arrays vs the
+    index's stored gram hashes.
 
     Returns ``(pairs, new_index_rows)``: ``pairs`` has
     (id_a, id_b, jaccard, vs) with ``vs`` ∈ {'new', 'index'};
-    ``new_index_rows`` is the batch's index rows to append (same
-    schema as ``index``), so successive ingests compose:
-    ``index = index.unionByName(new_index_rows)``.
+    ``new_index_rows`` is the batch's :class:`LshIndex` delta —
+    successive ingests compose with :meth:`LshIndex.union`.
 
-    Scale shape: the batch is shingled ONCE; the index side ships only
-    (id, band, bucket) plus gram arrays for verified candidates; every
-    join is a bucket equi-join (linear), never all-pairs. Same
-    banding/permutation math as :func:`minhash_lsh_pairs` — a pair
-    split across a snapshot boundary is found iff the one-shot batch
-    job would have found it."""
+    Scale shape: the batch is shingled ONCE; the index's bucket table
+    carries only (id, band, bucket) — gram arrays live once per doc in
+    the separate grams table and ship only for verified candidates;
+    every join is a bucket equi-join (linear), never all-pairs. The
+    banding math is the SAME helper the one-shot path uses
+    (:func:`_banded_buckets`), so a pair split across a snapshot
+    boundary is found iff the one-shot batch job would have found it
+    (pytest proves the equivalence)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
     hs = gram_hashes(new_df, id_col, text_col, shingle_n).persist()
     hs.count()
     sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
-    banded = sig.select(
-        "id",
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", bi * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
-    banded = banded.persist()
+    banded = _banded_buckets(sig, bands, r).persist()
     banded.count()
 
     # new×new within the batch
@@ -638,21 +625,15 @@ def minhash_lsh_pairs_incremental(
     )
     ha = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
     hb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
-    inter = F.size(F.array_intersect("ha", "hb"))
-    jac = (
-        inter.cast("double")
-        / (F.size("ha") + F.size("hb") - inter).cast("double")
-    ).alias("jaccard")
     nn_pairs = (
         nn.join(ha, "id_a").join(hb, "id_b")
-        .select("id_a", "id_b", jac, F.lit("new").alias("vs"))
+        .select("id_a", "id_b", _jaccard_expr(), F.lit("new").alias("vs"))
         .filter(F.col("jaccard") >= threshold)
     )
 
-    # new×index across the snapshot boundary (index rows are already
-    # banded — only their (id, band, bucket) join key moves until a
-    # candidate's gram hashes are needed for the verify)
-    ib = index.select(
+    # new×index across the snapshot boundary: only the compact bucket
+    # table joins; gram arrays are fetched per verified candidate
+    ib = index.buckets.select(
         F.col("id").alias("id_b"), F.col("band"), F.col("bucket")
     )
     ni = (
@@ -662,17 +643,39 @@ def minhash_lsh_pairs_incremental(
         .select("id_a", "id_b")
         .distinct()
     )
-    ihs = index.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")).distinct()
+    ihs = index.grams.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
     ni_pairs = (
         ni.join(ha, "id_a").join(ihs, "id_b")
-        .select("id_a", "id_b", jac, F.lit("index").alias("vs"))
+        .select("id_a", "id_b", _jaccard_expr(), F.lit("index").alias("vs"))
         .filter(F.col("jaccard") >= threshold)
     )
 
-    new_index = banded.select("id", "band", "bucket").join(
-        hs.select("id", "hs"), "id"
-    )
-    return nn_pairs.unionByName(ni_pairs), new_index
+    delta = LshIndex(buckets=banded, grams=hs.select("id", "hs"))
+    return nn_pairs.unionByName(ni_pairs), delta
+
+
+class LshIndex:
+    """The durable MinHash-LSH index: a compact bucket table
+    ``(id, band, bucket)`` plus a one-row-per-doc gram table
+    ``(id, hs)``. Kept as TWO tables on purpose — denormalizing the
+    gram arrays into every band row would store each doc's array
+    ``bands`` times (16× with defaults) and force a heavy distinct()
+    per ingest to undo it. Write ``buckets`` partitioned/bucketed by
+    ``bucket`` at scale so incremental probes prune to touched
+    buckets."""
+
+    def __init__(self, buckets: DataFrame, grams: DataFrame):
+        self.buckets = buckets
+        self.grams = grams
+
+    def union(self, other: "LshIndex") -> "LshIndex":
+        return LshIndex(
+            self.buckets.unionByName(other.buckets),
+            self.grams.unionByName(other.grams),
+        )
+
+    def count(self) -> int:
+        return self.buckets.count()
 
 
 def minhash_lsh_index(
@@ -683,17 +686,18 @@ def minhash_lsh_index(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
-) -> DataFrame:
-    """Build the persistent LSH index rows (id, band, bucket, hs) for a
-    corpus — the seed input for :func:`minhash_lsh_pairs_incremental`.
-    Write it partitioned/bucketed by ``bucket`` at scale so incremental
-    probes prune to the touched buckets."""
+) -> LshIndex:
+    """Build the persistent :class:`LshIndex` for a corpus — the seed
+    input for :func:`minhash_lsh_pairs_incremental`."""
     id_type = df.schema[id_col].dataType.simpleString()
-    pairs, idx = minhash_lsh_pairs_incremental(
+    spark = df.sparkSession
+    empty = LshIndex(
+        buckets=spark.createDataFrame([], f"id {id_type}, band int, bucket long"),
+        grams=spark.createDataFrame([], f"id {id_type}, hs array<long>"),
+    )
+    _, idx = minhash_lsh_pairs_incremental(
         df,
-        index=df.sparkSession.createDataFrame(
-            [], f"id {id_type}, band int, bucket long, hs array<long>"
-        ),
+        index=empty,
         id_col=id_col,
         text_col=text_col,
         num_hashes=num_hashes,

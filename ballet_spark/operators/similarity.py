@@ -49,12 +49,18 @@ def cosine_udf() -> Column:
 
     @F.pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype("float64")
-        B = np.stack(b.to_numpy()).astype("float64")
-        return pd.Series(
-            (A * B).sum(axis=1)
-            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        )
+        # NULL vectors yield NULL (np.stack on a ragged/None batch
+        # would throw and kill the job); threshold filters then drop
+        # the pair, matching the JVM expression's NULL propagation
+        mask = a.notna() & b.notna()
+        out = pd.Series([None] * len(a), dtype="float64")
+        if mask.any():
+            A = np.stack(a[mask].to_numpy()).astype("float64")
+            B = np.stack(b[mask].to_numpy()).astype("float64")
+            out[mask] = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+        return out
 
     return _cos
 

@@ -238,8 +238,16 @@ def materialize(
             exprs.append(F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{u}"))
             exprs.append(F.sum(F.when(hit, row_hash(feat_cols))).alias(f"d_{u}"))
             for c in out_cols:
+                # hash (entity, time, value), not the value alone: a
+                # regression that PERMUTES a feature's values across
+                # rows keeps the value multiset (sum of value-only
+                # hashes unchanged) but changes every (key, value)
+                # pairing — exactly the case per-feature attribution
+                # exists to catch
                 exprs.append(
-                    F.sum(F.when(hit, row_hash([c]))).alias(f"f_{u}__{c}")
+                    F.sum(
+                        F.when(hit, row_hash([entity_col, time_col, c]))
+                    ).alias(f"f_{u}__{c}")
                 )
         observed = matrix.observe(obs, *exprs)
         # dynamic partition overwrite: recomputing a unit REPLACES its
@@ -262,9 +270,13 @@ def materialize(
              fold_digest(metrics[f"d_{u}"]), now)
             for u in batch
         ]
-        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
-            "append"
-        ).parquet(lineage_path)
+        # FEATURE rows append BEFORE the unit rows: resume keys on the
+        # unit table, so a crash between the two writes must leave the
+        # unit "incomplete" (recompute re-appends both) rather than
+        # "complete with permanently missing feature rows". The
+        # recompute can therefore duplicate feature rows — readers go
+        # through feature_lineage(), which keeps the latest append per
+        # (feature_set, feature, snapshot, unit).
         if feature_lineage_path is not None and out_cols:
             frows = [
                 (fset, c, input_snapshot, u,
@@ -275,6 +287,9 @@ def materialize(
             spark.createDataFrame(frows, FEATURE_LINEAGE_SCHEMA).write.mode(
                 "append"
             ).parquet(feature_lineage_path)
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(lineage_path)
         n_done += len(batch)
 
     return {
@@ -304,3 +319,22 @@ def read_matrix(
 def lineage_metrics(spark: SparkSession, lineage_path: str) -> DataFrame:
     """The lineage/metrics table (discovery analog, V13)."""
     return spark.read.parquet(lineage_path)
+
+
+def feature_lineage(spark: SparkSession, feature_lineage_path: str) -> DataFrame:
+    """Per-feature lineage, deduplicated: a crash between the feature
+    append and the unit append makes the restart recompute the unit and
+    re-append its feature rows, so the raw table can hold several
+    appends per key — keep the LATEST per
+    (feature_set, feature, input_snapshot, unit)."""
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(feature_lineage_path)
+    w = Window.partitionBy(
+        "feature_set", "feature", "input_snapshot", "unit"
+    ).orderBy(F.desc("completed_at"))
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

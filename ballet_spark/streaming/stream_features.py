@@ -242,15 +242,23 @@ def stream_asof_features(
     so it is legal in a stream-static join: no watermark, no state
     store, identical results to the batch path row for row. This is
     the serving half of offline/online parity — the SAME operator
-    computes the backfill matrix and answers streaming probes."""
-    from ballet_spark.operators.asof import asof_join_broadcast
+    computes the backfill matrix and answers streaming probes.
 
-    return asof_join_broadcast(
+    The per-entity history table is built and PERSISTED once here —
+    left inside the join plan it would be re-aggregated from the raw
+    feature table on EVERY micro-batch, making serving cost dominated
+    by rebuilding an unchanged broadcast table."""
+    from ballet_spark.operators.asof import asof_join_history, entity_history
+
+    hist = entity_history(
+        features, on=on, right_ts=right_ts, value_cols=value_cols
+    ).persist()
+    hist.count()
+    return asof_join_history(
         probes,
-        features,
+        hist,
         on=on,
         left_ts=left_ts,
-        right_ts=right_ts,
         value_cols=value_cols,
         tolerance_s=tolerance_s,
     )

@@ -271,3 +271,20 @@ def test_per_feature_lineage_rows(spark, tmp_path, webtext_df):
         .collect()
     )
     assert all(r["d"] == 1 for r in per_unit)
+
+
+def test_feature_digest_is_permutation_sensitive(spark):
+    """Swapping a feature's values between two entities (same value
+    multiset) must change the per-feature digest — it hashes
+    (entity, time, value), not the value alone."""
+    from ballet_spark.plans.materialize import fold_digest, row_hash
+
+    a = spark.createDataFrame(
+        [("u1", 1.0, 10.0), ("u2", 1.0, 20.0)], "url string, ts double, f double"
+    )
+    b = spark.createDataFrame(  # values swapped across entities
+        [("u1", 1.0, 20.0), ("u2", 1.0, 10.0)], "url string, ts double, f double"
+    )
+    da = fold_digest(a.agg(F.sum(row_hash(["url", "ts", "f"]))).first()[0])
+    db = fold_digest(b.agg(F.sum(row_hash(["url", "ts", "f"]))).first()[0])
+    assert da != db

@@ -247,6 +247,6 @@ def test_incremental_minhash_equals_one_shot(spark):
     }
     assert got == want
     # the appended index composes to the full corpus index
-    assert idx.unionByName(idx_rows).count() == minhash_lsh_index(
+    assert idx.union(idx_rows).count() == minhash_lsh_index(
         docs, num_hashes=32, bands=8
     ).count()
