@@ -471,6 +471,23 @@ def incremental_minhash_dups(spark, sf_dir):
     )
 
 
+def incremental_exact_dedup(spark, sf_dir):
+    """Two-snapshot exact-dedup ingest (even doc_ids first, then odd):
+    a row survives iff its content was never seen — in the prior
+    snapshot's hash table or earlier (min id) in its own batch. The
+    oracle replays the precedence in SQL."""
+    from ballet_spark.operators.dedup import exact_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    empty = spark.createDataFrame([], "content_md5 string")
+    k1, h1 = exact_dedup_incremental(docs.filter(F.col("doc_id") % 2 == 0), empty)
+    k2, _ = exact_dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), empty.unionByName(h1)
+    )
+    both = k1.select("doc_id").unionByName(k2.select("doc_id"))
+    return both.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
 def simhash_dups(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 10 of 64 bits). Token hash is
     md5-first-8-bytes, reproducible in DuckDB, so the oracle recomputes
@@ -1325,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_lsh_dups": minhash_lsh_dups,
         "incremental_minhash_dups": incremental_minhash_dups,
+        "incremental_exact_dedup": incremental_exact_dedup,
         "simhash_dups": simhash_dups,
         "embedding_topk": embedding_topk,
         "embedding_neardups": embedding_neardups,
@@ -1625,6 +1643,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8
+        """,
+        "incremental_exact_dedup": """
+            WITH s1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            s2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+            k1 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text),
+            k2 AS (
+                SELECT min(doc_id) AS doc_id FROM s2
+                WHERE text NOT IN (SELECT text FROM s1)
+                GROUP BY text)
+            SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM k2
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -706,3 +706,33 @@ def minhash_lsh_index(
         seed=seed,
     )
     return idx
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: keep only new-batch rows whose content
+    was never seen — in earlier snapshots (one broadcast-or-shuffle
+    anti-join against the persisted ``seen_hashes`` table of
+    ``content_md5`` values) or earlier in this batch (the one-shot
+    hash-groupBy keeps the min-id row per distinct text).
+
+    Returns ``(kept_rows, new_hashes)``; successive ingests compose
+    with ``seen_hashes.unionByName(new_hashes)`` (or an append to the
+    hash table — one 32-char row per distinct document ever seen, the
+    only state exact dedup needs at 10^12 docs)."""
+    hashed = new_df.withColumn("content_md5", F.md5(F.col(text_col)))
+    fresh = hashed.join(
+        seen_hashes.select("content_md5"), "content_md5", "left_anti"
+    )
+    keep_ids = (
+        fresh.groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = fresh.join(keep_ids, id_col, "semi").drop("content_md5")
+    new_hashes = fresh.select("content_md5").distinct()
+    return kept, new_hashes

@@ -250,3 +250,26 @@ def test_incremental_minhash_equals_one_shot(spark):
     assert idx.union(idx_rows).count() == minhash_lsh_index(
         docs, num_hashes=32, bands=8
     ).count()
+
+
+def test_exact_dedup_incremental_composes(spark):
+    """Two-snapshot exact-dedup ingest keeps exactly one copy of every
+    distinct text, including duplicates split across the boundary."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.operators.dedup import exact_dedup_incremental
+
+    empty = spark.createDataFrame([], "content_md5 string")
+    s1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    k1, h1 = exact_dedup_incremental(s1, empty)
+    assert sorted(r["doc_id"] for r in k1.collect()) == [1, 2]
+    seen = empty.unionByName(h1)
+    s2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "gamma")], "doc_id long, text string"
+    )
+    k2, h2 = exact_dedup_incremental(s2, seen)
+    # 'beta' was seen in snapshot 1 -> dropped; one 'gamma' survives
+    assert sorted(r["doc_id"] for r in k2.collect()) == [5]
+    assert seen.unionByName(h2).distinct().count() == 3  # alpha, beta, gamma
