@@ -303,3 +303,17 @@ def test_q5_broadcasts_dims_single_fact_shuffle(spark):
     # the sort's range exchange is separate. Anything more means a
     # dimension shuffled the fact table.
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_incremental_minhash_joins_are_equi_key(spark):
+    """Every join in the incremental-dedup plan must be an equi-join
+    (bucket/id keys): a CartesianProduct or BroadcastNestedLoopJoin
+    anywhere means a candidate path went quadratic."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["incremental_minhash_dups"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
