@@ -29,6 +29,7 @@ and a list → sequential composition.
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
@@ -88,17 +89,62 @@ def _code_key(code) -> str:
     return "(" + ",".join(parts) + ")"
 
 
-def _hash_callable(fn: Callable) -> str:
-    """Deterministic across processes: hash the callable's identity
-    (module.qualname) plus its compiled bytecode when available —
-    NEVER ``repr(fn)`` or raw ``repr(co_consts)``, whose embedded
-    memory addresses would give a resumed job different auto-generated
-    column names than the run that wrote the matrix."""
+_ADDR_RE = re.compile(r"0x[0-9a-fA-F]+")
+
+
+def _value_key(v, depth: int = 0) -> str:
+    """Process-stable key for a captured value. Functions recurse
+    (their closures may themselves capture functions); code objects go
+    through ``_code_key``; everything else is repr'd with any embedded
+    ``0x...`` memory address masked so the key survives a restart."""
+    if depth > 8:
+        return "<deep>"
+    if callable(v) and hasattr(v, "__code__"):
+        return "fn:" + _callable_key(v, depth + 1)
+    if hasattr(v, "co_code"):
+        return _code_key(v)
+    return _ADDR_RE.sub("0xADDR", repr(v))
+
+
+def _callable_key(fn: Callable, depth: int = 0) -> str:
+    """Identity + bytecode + *captured state*: ``__defaults__``,
+    ``__kwdefaults__``, and closure cell values all fold in, so two
+    closures built from the same code with different captured
+    parameters hash differently (a resumed materialize() must NOT
+    treat a re-parameterized feature as already complete)."""
     name = getattr(fn, "__name__", "selector")
     ident = f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', name)}"
     code = getattr(fn, "__code__", None)
     if code is not None:
         ident += "|" + _code_key(code)
+    defaults = getattr(fn, "__defaults__", None) or ()
+    if defaults:
+        ident += "|d:" + ",".join(_value_key(v, depth) for v in defaults)
+    kwdefaults = getattr(fn, "__kwdefaults__", None) or {}
+    if kwdefaults:
+        ident += "|k:" + ",".join(
+            f"{k}={_value_key(kwdefaults[k], depth)}" for k in sorted(kwdefaults)
+        )
+    closure = getattr(fn, "__closure__", None) or ()
+    if closure:
+        cells = []
+        for cell in closure:
+            try:
+                cells.append(_value_key(cell.cell_contents, depth))
+            except ValueError:  # unfilled cell (recursive def mid-construction)
+                cells.append("<empty>")
+        ident += "|c:" + ",".join(cells)
+    return ident
+
+
+def _hash_callable(fn: Callable) -> str:
+    """Deterministic across processes: hash the callable's identity
+    (module.qualname), compiled bytecode, defaults, and closure cell
+    values — NEVER ``repr(fn)`` or raw ``repr(co_consts)``, whose
+    embedded memory addresses would give a resumed job different
+    auto-generated column names than the run that wrote the matrix."""
+    name = getattr(fn, "__name__", "selector")
+    ident = _callable_key(fn)
     return f"{name}_{hashlib.md5(ident.encode()).hexdigest()[:6]}"
 
 

@@ -2,12 +2,15 @@
 
 Per the task brief: media are opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over ``mapInPandas``. The decode kernels are
-STUBBED (the container ships no image/audio libraries): by default they
-raise :class:`NotImplementedError` naming the missing dependency, and
-``fake=True`` switches in a deterministic fake decoder so the Spark-side
-plumbing — schema, partition sizing, UDF signature, batch shape — is
-real and tested end-to-end.
+Arrow-batched pandas UDFs over ``mapInPandas``. The REAL decode path
+handles uncompressed binary netpbm (PPM ``P6`` / PGM ``P5``) with a
+pure-numpy decoder (:func:`decode_ppm`) — no image library needed.
+Compressed formats (JPEG/PNG/audio/video) raise
+:class:`NotImplementedError` naming the missing dependency (the
+container ships no codec libraries), and ``fake=True`` switches in a
+deterministic fake decoder so the Spark-side plumbing — schema,
+partition sizing, UDF signature, batch shape — is exercisable on any
+bytes.
 
 Schema convention::
 
@@ -53,11 +56,83 @@ def attach_fake_media(df: DataFrame, seed_col: str = "url") -> DataFrame:
     )
 
 
-def _decode_image_real(data: bytes):
-    raise NotImplementedError(
-        "image decode requires Pillow/opencv, not present in this "
-        "container — pass fake=True for the deterministic stub decoder"
-    )
+def _ppm_header(data: bytes):
+    """Parse a netpbm header (magic, width, height, maxval) and return
+    the raster offset. Whitespace and ``#`` comments between tokens per
+    the spec; exactly ONE whitespace byte separates maxval from the
+    raster."""
+    pos = 0
+
+    def token():
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < len(data) and data[pos : pos + 1] not in (b"\n", b"\r"):
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    magic = token()
+    if magic not in (b"P5", b"P6"):
+        # validate the magic BEFORE parsing dimensions: arbitrary bytes
+        # must fail with the "unsupported format" error, not an int()
+        # ValueError from garbage header tokens
+        raise NotImplementedError(
+            f"unsupported image magic {magic[:16]!r}: only binary PPM/PGM "
+            "decode in-container; JPEG/PNG/etc. require Pillow/opencv "
+            "(not present) — pass fake=True for the deterministic stub "
+            "decoder"
+        )
+    w, h, maxval = int(token()), int(token()), int(token())
+    pos += 1  # the single whitespace after maxval
+    return magic, w, h, maxval, pos
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary netpbm images — PPM (``P6``, RGB)
+    and PGM (``P5``, grayscale) — the uncompressed formats a real
+    pipeline uses for intermediate image shards. Returns a 2-D float
+    luma array (BT.601 weights for RGB). No image library needed, so
+    the REAL decode path of :func:`image_features` is exercisable in
+    this container; compressed formats still raise
+    :class:`NotImplementedError` naming the missing dependency."""
+    magic, w, h, maxval, off = _ppm_header(data)
+    if maxval > 255:
+        raise NotImplementedError(
+            f"16-bit netpbm (maxval={maxval}) not supported by the "
+            "pure-numpy decoder"
+        )
+    if magic == b"P6":
+        n = w * h * 3
+        if len(data) - off < n:
+            raise ValueError(f"truncated P6 raster: need {n} bytes, have {len(data) - off}")
+        rgb = np.frombuffer(data, dtype=np.uint8, count=n, offset=off).reshape(h, w, 3)
+        return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    n = w * h
+    if len(data) - off < n:
+        raise ValueError(f"truncated P5 raster: need {n} bytes, have {len(data) - off}")
+    return np.frombuffer(data, dtype=np.uint8, count=n, offset=off).reshape(h, w).astype(float)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` for tests/benches: a 2-D uint8
+    array becomes binary PGM (P5), a 3-D ``(h, w, 3)`` array binary
+    PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+    if a.ndim == 3 and a.shape[2] == 3:
+        h, w, _ = a.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+    raise ValueError(f"expected (h,w) or (h,w,3) uint8 array, got shape {arr.shape}")
 
 
 def _decode_image_fake(data: bytes, width: int, height: int):
@@ -93,45 +168,60 @@ def image_features(
 ) -> DataFrame:
     """Decode + extract image features via ``mapInPandas``.
 
-    Real path raises NotImplementedError (no image libs in container);
-    ``fake=True`` exercises the identical plumbing with the stub
-    decoder. Each Arrow batch decodes independently — no global state,
-    so partitioning is free to follow the source.
-    """
+    Real path decodes binary PPM/PGM with the pure-numpy decoder
+    (:func:`decode_ppm`); compressed formats raise
+    NotImplementedError (no image libs in container). ``fake=True``
+    exercises the identical plumbing with the stub decoder. Each Arrow
+    batch decodes independently — no global state, so partitioning is
+    free to follow the source. Rows with a NULL meta struct emit NULL
+    features (nullable Int32/Float64/Int64, never 0/NaN sentinels —
+    downstream missingness checks must see missing, not a 0-sized
+    image)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # columnar for everything that isn't the per-item decode:
-            # metadata fields, byte lengths, and the output assembly are
-            # vectorized; only the decode itself visits items (a real
-            # image decoder is inherently per-item too)
+            # byte lengths / output assembly stay vectorized; the
+            # decode itself visits items (a real image decoder is
+            # inherently per-item too)
             metas = pdf[meta_col]
             datas = pdf[media_col].map(lambda d: bytes(d) if d is not None else b"")
-            # a NULL meta struct must not kill the batch: rows without
-            # metadata decode to nothing and emit NULL features
-            widths = metas.map(
-                lambda m: int(m["width"]) if m is not None else 0
-            ).to_numpy()
-            heights = metas.map(
-                lambda m: int(m["height"]) if m is not None else 0
-            ).to_numpy()
-            decode = _decode_image_fake if fake else _decode_image_real
-            lumas = [
-                (decode(d, w, h) if fake else decode(d)) if w > 0 and h > 0 else None
-                for d, w, h in zip(datas, widths, heights)
-            ]
+            lumas: list = []
+            widths: list = []
+            heights: list = []
+            mimes: list = []
+            for d, m in zip(datas, metas):
+                # a NULL meta struct must not kill the batch: rows
+                # without metadata decode to nothing and emit NULLs
+                if m is None:
+                    lumas.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    mimes.append(None)
+                    continue
+                mimes.append(m["mime"])
+                if fake:
+                    w, h = int(m["width"]), int(m["height"])
+                    lumas.append(_decode_image_fake(d, w, h) if w > 0 and h > 0 else None)
+                    widths.append(w)
+                    heights.append(h)
+                else:
+                    luma = decode_ppm(d)
+                    lumas.append(luma)
+                    # real path: dimensions come from the file header,
+                    # which is authoritative over the meta struct
+                    heights.append(int(luma.shape[0]))
+                    widths.append(int(luma.shape[1]))
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].to_numpy(),
                     "warc_ts": pdf["warc_ts"].to_numpy(),
-                    "mime": metas.map(
-                        lambda m: m["mime"] if m is not None else None
-                    ).to_numpy(),
+                    "mime": pd.array(mimes, dtype="string"),
                     "n_bytes": datas.map(len).to_numpy(dtype="int64"),
-                    "width": widths,
-                    "height": heights,
-                    "mean_luma": np.array(
-                        [float(x.mean()) if x is not None else np.nan for x in lumas]
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "mean_luma": pd.array(
+                        [float(x.mean()) if x is not None else None for x in lumas],
+                        dtype="Float64",
                     ),
                     "phash": pd.array(
                         [_phash64(x) if x is not None else None for x in lumas],

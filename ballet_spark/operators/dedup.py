@@ -25,10 +25,12 @@ Cache contract: the pair generators persist their shared intermediates
 self-join sides and the verify stage reference them; the returned
 DataFrames stay lazy, so those blocks back the result until the caller
 is done with it. Unpersisting inside the function would silently
-recompute the whole signature DAG per reference. Callers running many
-dedup jobs in one session should ``spark.catalog.clearCache()``
-between them (the bench does exactly this) or persist+collect the pair
-set and clear.
+recompute the whole signature DAG per reference. Every persist goes
+through :func:`ballet_spark.cache.persist_tracked` (re-exported here),
+so callers running many dedup jobs in one session release exactly
+these blocks with :func:`release_caches` once they've consumed (or
+persisted) the pair set — no global ``spark.catalog.clearCache()``
+needed.
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ballet_spark.cache import persist_tracked, release_caches  # noqa: F401 (re-export)
 
 # 2^31-1: affine permutations a*h+b stay < 2^62, no int64 overflow
 # under ANSI arithmetic while keeping a proper Mersenne-prime field.
@@ -127,7 +131,7 @@ def ngram_jaccard_pairs(
     # shuffles 8-byte ints instead of ~30-byte strings. Persist: the
     # hash arrays feed sizes + BOTH self-join sides (4 plan references)
     # — without it the tokenize+hash kernel runs once per reference.
-    docs = gram_hashes(df, id_col, text_col, n).persist()
+    docs = persist_tracked(gram_hashes(df, id_col, text_col, n))
     sizes = docs.select("id", F.size("hs").alias("n_grams"))
 
     exploded = docs.select("id", F.explode("hs").alias("gram"))
@@ -146,7 +150,7 @@ def ngram_jaccard_pairs(
     # eager persist: BOTH self-join sides reference the pruned explode,
     # and a lazy cache inside one job lets the two sides race past it
     # cold — without this the df-count aggregation + anti-join run twice
-    exploded = exploded.persist()
+    exploded = persist_tracked(exploded)
     exploded.count()
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -351,7 +355,7 @@ def minhash_lsh_pairs(
     # ONE tokenization pass: the persisted (id, gram-hash array) frame
     # feeds both signature generation and candidate verification, so
     # the regex split + shingle build runs once instead of three times
-    hs = gram_hashes(df, id_col, text_col, shingle_n).persist()
+    hs = persist_tracked(gram_hashes(df, id_col, text_col, shingle_n))
     hs.count()
     sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
     banded = _banded_buckets(sig, bands, r)
@@ -359,7 +363,7 @@ def minhash_lsh_pairs(
     # persist EAGERLY: the self-join would otherwise recompute the whole
     # signature DAG (explode + 64 min-aggs) once per side — lazy persist
     # inside one job lets both sides race past the cold cache
-    banded = banded.persist()
+    banded = persist_tracked(banded)
     banded.count()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -539,7 +543,7 @@ def embedding_neardup_pairs(
         base, "v", dim, n_planes, n_tables, seed
     ).select("id", "tbl", "bucket")
     # eager persist: both self-join sides reuse the 128 plane projections
-    bucketed = bucketed.persist()
+    bucketed = persist_tracked(bucketed)
     bucketed.count()
     bb_a, bb_b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
@@ -605,10 +609,10 @@ def minhash_lsh_pairs_incremental(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    hs = gram_hashes(new_df, id_col, text_col, shingle_n).persist()
+    hs = persist_tracked(gram_hashes(new_df, id_col, text_col, shingle_n))
     hs.count()
     sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
-    banded = _banded_buckets(sig, bands, r).persist()
+    banded = persist_tracked(_banded_buckets(sig, bands, r))
     banded.count()
 
     # new×new within the batch

@@ -81,10 +81,23 @@ def cached(key: str, df: DataFrame) -> DataFrame:
     session (a module-global entry from a stopped session is a dead
     handle, and a fresh session would silently receive it)."""
     sid = df.sparkSession.sparkContext.applicationId
-    # drop entries from other (stopped) sessions so handles don't pin
-    # executor storage or leak across restarts
+    # Evict entries from OTHER sessions only when their context is
+    # actually stopped (unpersisting best-effort first so the blocks
+    # are released, not leaked). Evicting merely-different live
+    # sessions would make two concurrent sessions thrash the memo and
+    # leak the evicted side's persisted blocks.
     for k in [k for k in _CACHE if k[0] != sid]:
-        del _CACHE[k]
+        other = _CACHE[k]
+        try:
+            stopped = other.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            try:
+                other.unpersist()
+            except Exception:
+                pass  # context gone; nothing to release
+            del _CACHE[k]
     full = (sid, key)
     if full not in _CACHE:
         _CACHE[full] = df.persist()

@@ -248,11 +248,12 @@ def stream_asof_features(
     left inside the join plan it would be re-aggregated from the raw
     feature table on EVERY micro-batch, making serving cost dominated
     by rebuilding an unchanged broadcast table."""
+    from ballet_spark.cache import persist_tracked
     from ballet_spark.operators.asof import asof_join_history, entity_history
 
-    hist = entity_history(
-        features, on=on, right_ts=right_ts, value_cols=value_cols
-    ).persist()
+    hist = persist_tracked(
+        entity_history(features, on=on, right_ts=right_ts, value_cols=value_cols)
+    )
     hist.count()
     return asof_join_history(
         probes,

@@ -196,3 +196,82 @@ def test_skew_head_from_probe_side_with_history_cap(spark):
         map(tuple, asof_join_skew(probes, right, top_k=1, max_history=10).collect())
     )
     assert capped == plain
+
+
+# ---- round-3 ADVICE regressions ----
+
+
+def test_hash_callable_folds_closures_and_defaults():
+    """ADVICE r3: same bytecode + different captured values must hash
+    differently, else a resumed materialize() serves a stale matrix for
+    a re-parameterized feature."""
+    from ballet_spark.core import _hash_callable
+
+    def make(th):
+        def sel(df):
+            return th
+
+        return sel
+
+    assert _hash_callable(make(1)) != _hash_callable(make(2))
+    assert _hash_callable(make(1)) == _hash_callable(make(1))  # stable
+
+    def mkdef(k):
+        def f(x, scale=k):
+            return x * scale
+
+        return f
+
+    assert _hash_callable(mkdef(0.5)) != _hash_callable(mkdef(2.0))
+
+    def mkkw(k):
+        def f(x, *, scale=k):
+            return x * scale
+
+        return f
+
+    assert _hash_callable(mkkw(1)) != _hash_callable(mkkw(2))
+
+    # captured functions recurse: outer closures differing only in the
+    # inner function's captured value still hash apart
+    def outer(g):
+        def h(x):
+            return g(x)
+
+        return h
+
+    assert _hash_callable(outer(make(1))) != _hash_callable(outer(make(2)))
+
+
+def test_release_caches_releases_tracked_persists(spark, webtext_df):
+    """ADVICE r3: dedup intermediates are released deterministically via
+    release_caches(), no global clearCache needed."""
+    from ballet_spark.cache import _PERSISTED, release_caches
+    from ballet_spark.operators.dedup import minhash_lsh_pairs
+
+    release_caches()  # clean slate
+    pairs = minhash_lsh_pairs(webtext_df.limit(40), "url", "text")
+    pairs.count()
+    assert len(_PERSISTED) > 0
+    handles = list(_PERSISTED)
+    n = release_caches()
+    assert n == len(handles)
+    assert not _PERSISTED
+    assert all(h.storageLevel.useMemory is False for h in handles)
+
+
+def test_cached_keeps_live_session_entries(spark, webtext_df):
+    """ADVICE r3: cached() must not evict (and leak) entries for a
+    session that is still alive."""
+    from ballet_spark.sources import io
+
+    io.uncache()
+    df = webtext_df.limit(5)
+    a = io.cached("k1", df)
+    assert len(io._CACHE) == 1
+    b = io.cached("k2", df.limit(2))
+    # both keys survive: same live session, nothing evicted
+    assert len(io._CACHE) == 2
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    io.uncache()
+    assert not io._CACHE

@@ -121,3 +121,89 @@ def test_cached_memoizes_and_persists(spark):
     assert (sid, "t_cached_key") in io_mod._CACHE
     io_mod.uncache("t_cached_key")
     assert not any(k[1] == "t_cached_key" for k in io_mod._CACHE)
+
+
+def test_decode_ppm_roundtrip_numpy_oracle():
+    """Real decode path: encode with encode_ppm, decode with decode_ppm,
+    features match a direct numpy computation (the oracle)."""
+    from ballet_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    luma = decode_ppm(encode_ppm(rgb))
+    expect = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert luma.shape == (13, 9)
+    assert np.allclose(luma, expect)
+
+    gray = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray.astype(float))
+
+    # header comments + multi-digit dims survive the parser
+    with_comment = b"P5\n# a comment\n6 6\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), gray.astype(float))
+
+    with pytest.raises(NotImplementedError, match="unsupported image magic"):
+        decode_ppm(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_ppm(b"P5\n2 2\n65535\n" + b"\0" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\nshort")
+
+
+def test_image_features_real_ppm_path(spark):
+    """image_features fake=False runs end-to-end in-container on real
+    PPM/PGM bytes; mean_luma and phash oracle-checked against numpy."""
+    import pandas as pd
+
+    from ballet_spark.functions.multimodal import (
+        _phash64,
+        decode_ppm,
+        encode_ppm,
+        image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, oracle = [], {}
+    for i in range(8):
+        if i % 2:
+            arr = rng.integers(0, 256, size=(16 + i, 12 + i, 3), dtype=np.uint8)
+        else:
+            arr = rng.integers(0, 256, size=(16 + i, 12 + i), dtype=np.uint8)
+        data = encode_ppm(arr)
+        luma = decode_ppm(data)
+        url = f"http://x.test/{i}"
+        oracle[url] = (
+            luma.shape[1], luma.shape[0], float(luma.mean()), _phash64(luma), len(data)
+        )
+        rows.append((url, pd.Timestamp("2024-01-01").to_pydatetime(), data,
+                     ("image/x-portable", 0, 0, 0.0)))
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    out = {r["url"]: r for r in image_features(df, fake=False).collect()}
+    assert len(out) == 8
+    for url, (w, h, ml, ph, nb) in oracle.items():
+        r = out[url]
+        # real path: dims come from the file header, not the meta struct
+        assert (r["width"], r["height"], r["n_bytes"], r["phash"]) == (w, h, nb, ph)
+        assert abs(r["mean_luma"] - ml) < 1e-9
+        assert r["mime"] == "image/x-portable"
+
+
+def test_image_features_null_meta_emits_nulls(spark):
+    """ADVICE r2: NULL meta struct must emit NULL width/height/mean_luma,
+    not 0/NaN sentinels."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [
+            ("u1", pd.Timestamp("2024-01-01").to_pydatetime(), b"P5\n1 1\n255\nx", None),
+        ],
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    r = image_features(df, fake=False).collect()[0]
+    assert r["width"] is None and r["height"] is None
+    assert r["mean_luma"] is None and r["phash"] is None and r["mime"] is None
