@@ -1048,6 +1048,11 @@ def ts_features_user(spark, sf_dir):
         F.round("ts_mean_abs_change", 4).alias("ts_mean_abs_change"),
         F.round("ts_first", 4).alias("ts_first"),
         F.round("ts_last", 4).alias("ts_last"),
+        F.col("ts_n_peaks").alias("ts_n_peaks"),
+        F.col("ts_count_above_mean").alias("ts_count_above_mean"),
+        F.col("ts_longest_strike_above_mean")
+        .cast("bigint")
+        .alias("ts_longest_strike_above_mean"),
     )
 
 
@@ -1321,6 +1326,63 @@ def stratified_sample_docs(spark, sf_dir):
     )
 
 
+def grouped_apply_normalize(spark, sf_dir):
+    """E3 GroupedFunctionTransformer (ballet/eng/base.py:64-91) driver
+    query: per-language z-score of document length computed by an
+    ARBITRARY per-group pandas function via GroupedApply /
+    ``applyInPandas`` — the sanctioned escape hatch when no expression
+    composition exists. One shuffle on the group key, Arrow both ways,
+    numpy inside; the oracle replays it with SQL window aggregates
+    (both sides use the population std, rounded to 4dp)."""
+    import pandas as pd
+
+    from ballet_spark.core import PipelineContext
+    from ballet_spark.operators.fitted import GroupedApply
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = float(pdf["n_chars"].mean())
+        sd = float(pdf["n_chars"].std(ddof=0))
+        z = (pdf["n_chars"] - mu) / sd if sd > 0 else pdf["n_chars"] * 0.0
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z}
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    op = GroupedApply(
+        zscore, schema="doc_id bigint, lang string, z_chars double", by="lang"
+    )
+    out, _ = op.transform_df(docs, ["n_chars"], "z", PipelineContext())
+    return out.select("doc_id", "lang", F.round("z_chars", 4).alias("z_chars"))
+
+
+def embedding_ivf_fixed_topk(spark, sf_dir):
+    """IVF ANN with FIXED, engine-replayable centroids: the coarse
+    quantizer is the 16 corpus vectors with the smallest md5(vec_id) —
+    READ, not fitted, so no k-means float-sum ordering enters and the
+    DuckDB oracle replays assignment + probe selection + exact-cosine
+    re-rank value-for-value (upgrading IVF from the rows-only verdict
+    of `embedding_ivf_topk`, which keeps the fitted path covered).
+    Probe/assignment ties break (d2 ASC, centroid ASC) — stable
+    argsort in ivf_topk, explicit ORDER BY in the oracle."""
+    import numpy as np
+
+    from ballet_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["embedding"], dtype="float64") for r in seeds])
+    q = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(emb, q, cents, k=5, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver's CORRECTNESS gate evaluates
     only the FIRST 50 entries. Layout: (1) the 17 round-2 queries the
@@ -1350,7 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": gopher_quality_filter,
         "repetition_filter_docs": repetition_filter_docs,
         # --- (2) round-3 additions ---
-        # (inserted here as implemented)
+        "grouped_apply_normalize": grouped_apply_normalize,
+        "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
         # --- (3) round-1 representative core ---
         "q1_pricing_summary": q1_pricing_summary,
         "agg_by_nation": agg_by_nation,
@@ -1853,6 +1916,50 @@ def oracle_sql() -> dict[str, str]:
             FROM hx2, hy, hxy
         """,
     }
+    oracles["grouped_apply_normalize"] = """
+        SELECT doc_id, lang,
+               round(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                     THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                          / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                     ELSE 0.0 END, 4) AS z_chars
+        FROM documents
+    """
+
+    oracles["embedding_ivf_fixed_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                    - 1)::INT AS c,
+                   v AS cv
+            FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        -- same expansion the Spark kernel uses: ||c||^2 - 2 v.c
+        -- (the ||v||^2 term is constant per row, irrelevant to ranking)
+        dist AS (
+            SELECT e.vec_id, e.v, s.c,
+                   list_dot_product(s.cv, s.cv)
+                       - 2 * list_dot_product(e.v, s.cv) AS d2
+            FROM e CROSS JOIN seeds s),
+        assign AS (
+            SELECT vec_id AS neighbor_id, v AS cv, c AS centroid_id FROM dist
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2 ASC, c ASC) = 1),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, c AS centroid_id FROM dist
+            WHERE vec_id < 20
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2 ASC, c ASC) <= 8),
+        scored AS (
+            SELECT p.query_id, a.neighbor_id,
+                   list_cosine_similarity(p.qv, a.cv) AS cosine
+            FROM probes p JOIN assign a USING (centroid_id)
+            WHERE a.neighbor_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """
+
     oracles.update(_generated_oracles())
     return oracles
 
@@ -2024,9 +2131,22 @@ def _generated_oracles() -> dict[str, str]:
 
     out["ts_features_user"] = """
         WITH d AS (SELECT user_id, ts, value,
-                          abs(value - lag(value) OVER
-                              (PARTITION BY user_id ORDER BY ts)) AS chg
-                   FROM events)
+                          abs(value - lag(value) OVER w) AS chg,
+                          coalesce(value > lag(value) OVER w
+                                   AND value > lead(value) OVER w,
+                                   false) AS peak,
+                          coalesce(value > avg(value)
+                                       OVER (PARTITION BY user_id),
+                                   false) AS above,
+                          row_number() OVER w AS rn
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT *,
+                     max(CASE WHEN NOT above THEN rn END) OVER
+                         (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS lna
+              FROM d)
         SELECT user_id,
                count(value) AS ts_length,
                round(avg(value), 4) AS ts_mean,
@@ -2037,8 +2157,13 @@ def _generated_oracles() -> dict[str, str]:
                round(sum(value * value), 2) AS ts_abs_energy,
                round(avg(chg), 4) AS ts_mean_abs_change,
                round(min_by(value, ts), 4) AS ts_first,
-               round(max_by(value, ts), 4) AS ts_last
-        FROM d GROUP BY user_id
+               round(max_by(value, ts), 4) AS ts_last,
+               sum(CASE WHEN peak THEN 1 ELSE 0 END) AS ts_n_peaks,
+               sum(CASE WHEN above THEN 1 ELSE 0 END)
+                   AS ts_count_above_mean,
+               max(CASE WHEN above THEN rn - coalesce(lna, 0)
+                        ELSE 0 END) AS ts_longest_strike_above_mean
+        FROM s GROUP BY user_id
     """
 
     out["iterative_impute_value"] = """

@@ -102,11 +102,48 @@ def ts_features(
 ) -> DataFrame:
     """tsfresh-FeatureAugmenter-style fixed feature vector per entity:
     length, mean, std, min, max, sum, abs_energy (Σx²), mean_abs_change
-    (mean |x_t − x_{t−1}| in event-time order), first and last value.
-    One window (shared entity/time sort) + one aggregation."""
+    (mean |x_t − x_{t−1}| in event-time order), first and last value,
+    number of peaks (strictly greater than both immediate neighbors,
+    tsfresh ``number_peaks(n=1)``), count above the series mean, and
+    longest strike above the series mean (tsfresh
+    ``longest_strike_above_mean``).
+
+    Plan shape: every window expression shares
+    ``partitionBy(entity)`` — the lag/lead/row_number/running-max
+    family additionally ordered by time — so Catalyst plans ONE
+    Exchange + one Sort feeding stacked Window nodes, then one
+    hash aggregation (asserted by tests/test_plan_shapes.py). The
+    streak uses the running-max gaps-and-islands form (streak = rn −
+    last not-above rn) instead of a second groupBy on (entity, island)
+    precisely to avoid a second shuffle."""
     w = Window.partitionBy(entity_col).orderBy(time_col)
+    w_all = Window.partitionBy(entity_col)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     v = F.col(value_col).cast("double")
-    d = df.withColumn("__chg", F.abs(v - F.lag(v).over(w)))
+    d = (
+        df.withColumn("__chg", F.abs(v - F.lag(v).over(w)))
+        .withColumn(
+            "__peak",
+            F.coalesce((v > F.lag(v).over(w)) & (v > F.lead(v).over(w)), F.lit(False)),
+        )
+        # NULL values are explicitly NOT above the mean (they reset the
+        # streak) — leaving the comparison NULL would make resets
+        # depend on three-valued-logic subtleties the oracle would have
+        # to replicate bug-for-bug
+        .withColumn("__above", F.coalesce(v > F.avg(v).over(w_all), F.lit(False)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__last_not_above",
+            F.max(F.when(~F.col("__above"), F.col("__rn"))).over(w_run),
+        )
+        .withColumn(
+            "__streak",
+            F.when(
+                F.col("__above"),
+                F.col("__rn") - F.coalesce(F.col("__last_not_above"), F.lit(0)),
+            ).otherwise(F.lit(0)),
+        )
+    )
     return d.groupBy(entity_col).agg(
         F.count(v).alias(f"{prefix}_length"),
         F.avg(v).alias(f"{prefix}_mean"),
@@ -118,4 +155,7 @@ def ts_features(
         F.avg("__chg").alias(f"{prefix}_mean_abs_change"),
         F.min_by(v, F.col(time_col)).alias(f"{prefix}_first"),
         F.max_by(v, F.col(time_col)).alias(f"{prefix}_last"),
+        F.sum(F.col("__peak").cast("long")).alias(f"{prefix}_n_peaks"),
+        F.sum(F.col("__above").cast("long")).alias(f"{prefix}_count_above_mean"),
+        F.max("__streak").alias(f"{prefix}_longest_strike_above_mean"),
     )

@@ -308,10 +308,14 @@ def ivf_fit(
     """Fit IVF centroids with Lloyd's k-means, fully deterministic:
     seeds are the ``n_centroids`` corpus vectors with the smallest
     md5(id) (a fixed pseudo-random-but-reproducible draw), then
-    ``n_iter`` rounds of assign (ONE numpy matmul per Arrow batch
-    against broadcast centroids) + per-cluster mean (one hash agg on
-    64 running sums — partial aggregation, no row movement beyond the
-    k×dim partials). The fit samples at most ``sample_limit`` vectors
+    ``n_iter`` rounds of assign+partial-sum fused into ONE
+    ``mapInPandas`` pass (a numpy matmul per Arrow batch against
+    broadcast centroids, per-partition (count, vector-sum) partials
+    accumulated in the kernel), merged on the driver. The plan is
+    **dimension-independent** — k·n_partitions small rows collected
+    per round, never one aggregate expression per dimension (at
+    dim=1024 the per-dimension form planned 1000+ agg expressions per
+    Lloyd round). The fit samples at most ``sample_limit`` vectors
     (hash-ordered, deterministic) — centroid quality needs a sample,
     not the corpus, so fit cost is O(sample) regardless of corpus
     size; ASSIGNMENT (ivf_assign) streams the full corpus once."""
@@ -326,31 +330,54 @@ def ivf_fit(
     cents = np.stack(
         [r["v"] for r in seed_rows.limit(n_centroids).collect()]
     ).astype("float64")
+    k, dim = cents.shape
 
     for _ in range(n_iter):
-        assigned = seed_rows.withColumn("c", _assign_udf(cents)(F.col("v")))
-        sums = (
-            assigned.select(
-                "c",
-                F.lit(1).alias("n"),
-                *[F.element_at("v", i + 1).cast("double").alias(f"x{i}")
-                  for i in range(cents.shape[1])],
-            )
-            .groupBy("c")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(f"x{i}").alias(f"x{i}") for i in range(cents.shape[1])],
-            )
+        parts = (
+            seed_rows.select("v")
+            .mapInPandas(_partial_sums_fn(cents), "c int, n long, s array<double>")
             .collect()
         )
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros((k, dim), dtype=np.float64)
+        for r in parts:
+            tot_n[r["c"]] += r["n"]
+            tot_s[r["c"]] += np.asarray(r["s"], dtype=np.float64)
         new = cents.copy()  # empty clusters keep their previous centroid
-        for r in sums:
-            new[r["c"]] = np.array(
-                [r[f"x{i}"] for i in range(cents.shape[1])]
-            ) / float(r["n"])
+        nz = np.nonzero(tot_n)[0]
+        new[nz] = tot_s[nz] / tot_n[nz, None]
         cents = new
     seed_rows.unpersist()
     return cents
+
+
+def _partial_sums_fn(cents):
+    """mapInPandas kernel: assign every vector in the partition to its
+    nearest centroid and emit per-centroid (count, vector-sum)
+    partials — the map-side combine of Lloyd's M-step, hand-fused so
+    the shuffle/collect is k rows per partition regardless of dim."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    k, dim = C.shape
+    c_sq = (C * C).sum(axis=1)
+
+    def fn(batches):
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            a = np.argmin(c_sq[None, :] - 2.0 * (M @ C.T), axis=1)
+            np.add.at(n, a, 1)
+            np.add.at(s, a, M)
+        nz = np.nonzero(n)[0]
+        yield pd.DataFrame(
+            {"c": nz.astype("int32"), "n": n[nz], "s": [s[i] for i in nz]}
+        )
+
+    return fn
 
 
 def _assign_udf(cents):
@@ -407,7 +434,9 @@ def ivf_topk(
     ).toPandas()
     Q = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
     d = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
-    probes = np.argsort(d, axis=1)[:, :n_probe]  # (nq, n_probe)
+    # stable sort: distance ties break on centroid id, so the probe set
+    # is engine-replayable (ORDER BY d2 ASC, c ASC in the SQL oracle)
+    probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]  # (nq, n_probe)
     # native-Python values + the queries frame's own id dtype (string
     # ids are first-class; int(qid) would crash on them)
     probe_rows = [

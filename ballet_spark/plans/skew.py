@@ -33,16 +33,42 @@ from pyspark.sql import functions as F
 from ballet_spark.operators.asof import asof_join, asof_join_broadcast
 
 
+HEAD_KEYS_HARD_CAP = 10_000
+
+
 def head_keys(
     df: DataFrame,
     key: str = "url",
     top_k: int | None = None,
     min_count: int | None = None,
 ) -> list:
-    """Hot keys by row count: the broadcast set for plan splitting."""
+    """Hot keys by row count: the broadcast set for plan splitting.
+
+    The collect is ALWAYS bounded: ``top_k`` by its limit, and the
+    ``min_count`` form by ``HEAD_KEYS_HARD_CAP`` — a degenerate
+    threshold (e.g. ``min_count=1`` on a high-cardinality key) must
+    not pull millions of keys onto the driver. When the cap bites, the
+    hottest keys win (that's the set broadcast-splitting wants) and a
+    warning names the dropped count."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
     if min_count is not None:
-        rows = counts.filter(F.col("n") >= min_count).collect()
+        hot = counts.filter(F.col("n") >= min_count)
+        rows = (
+            hot.orderBy(F.desc("n"), F.asc(key))
+            .limit(HEAD_KEYS_HARD_CAP + 1)
+            .collect()
+        )
+        if len(rows) > HEAD_KEYS_HARD_CAP:
+            import warnings
+
+            warnings.warn(
+                f"head_keys(min_count={min_count}) matched more than "
+                f"{HEAD_KEYS_HARD_CAP} keys; keeping the "
+                f"{HEAD_KEYS_HARD_CAP} hottest — raise min_count (a "
+                "broadcast head set this large defeats the plan split)",
+                stacklevel=2,
+            )
+            rows = rows[:HEAD_KEYS_HARD_CAP]
     else:
         rows = counts.orderBy(F.desc("n"), F.asc(key)).limit(top_k or 100).collect()
     return [r[key] for r in rows]

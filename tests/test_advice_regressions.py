@@ -275,3 +275,27 @@ def test_cached_keeps_live_session_entries(spark, webtext_df):
     assert a.storageLevel.useMemory and b.storageLevel.useMemory
     io.uncache()
     assert not io._CACHE
+
+
+def test_head_keys_min_count_collect_is_capped(spark, monkeypatch):
+    """VERDICT r2 #8: a degenerate min_count threshold must not collect
+    unbounded keys onto the driver."""
+    import warnings
+
+    import ballet_spark.plans.skew as skew
+
+    df = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url"), F.lit(1).alias("x")
+    )
+    monkeypatch.setattr(skew, "HEAD_KEYS_HARD_CAP", 50)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        keys = skew.head_keys(df, key="url", min_count=1)
+    assert len(keys) == 50
+    assert any("head_keys" in str(x.message) for x in w)
+    # sane threshold: no cap, no warning
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        keys2 = skew.head_keys(df, key="url", min_count=2)
+    assert keys2 == []
+    assert not any("head_keys" in str(x.message) for x in w2)

@@ -67,6 +67,56 @@ def test_ts_features_hand_case(spark):
     assert out["ts_abs_energy"] == pytest.approx(1 + 16 + 4)
     assert out["ts_mean_abs_change"] == pytest.approx((3 + 2) / 2)
     assert out["ts_first"] == 1.0 and out["ts_last"] == 2.0
+    # order-dependent additions: series 1,4,2; mean 7/3
+    assert out["ts_n_peaks"] == 1  # 4 > both neighbors
+    assert out["ts_count_above_mean"] == 1  # only 4 > 7/3
+    assert out["ts_longest_strike_above_mean"] == 1
+
+
+def test_ts_features_streaks_and_peaks(spark):
+    # series: 0,5,6,7,0,8,9,0 -> mean 4.375; above-runs of len 3 and 2;
+    # peaks at 7 (idx3) and 9 (idx6); boundary values can't be peaks
+    vals = [0.0, 5.0, 6.0, 7.0, 0.0, 8.0, 9.0, 0.0]
+    df = spark.createDataFrame(
+        [("u", float(i), v) for i, v in enumerate(vals)],
+        "e string, ts double, v double",
+    )
+    out = ts_features(df, "e", "ts", "v").toPandas().iloc[0]
+    assert out["ts_longest_strike_above_mean"] == 3
+    assert out["ts_count_above_mean"] == 5
+    assert out["ts_n_peaks"] == 2
+    # NULL values reset the streak and are never peaks/above
+    vals2 = [5.0, 6.0, None, 7.0, 8.0]  # mean of non-null = 6.5
+    df2 = spark.createDataFrame(
+        [("u", float(i), v) for i, v in enumerate(vals2)],
+        "e string, ts double, v double",
+    )
+    out2 = ts_features(df2, "e", "ts", "v").toPandas().iloc[0]
+    assert out2["ts_longest_strike_above_mean"] == 2  # the 7,8 run
+    assert out2["ts_count_above_mean"] == 2
+
+
+def test_ts_features_single_exchange(spark):
+    """The widened catalog (peaks/streak/count-above-mean) must still
+    plan ONE Exchange before the final aggregation's own shuffle — the
+    running-max streak form exists precisely to avoid a second
+    data-sized shuffle on (entity, island)."""
+    df = spark.createDataFrame(
+        [("u%d" % (i % 5), float(i), float(i * 7 % 13)) for i in range(100)],
+        "e string, ts double, v double",
+    )
+    plan = (
+        ts_features(df, "e", "ts", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exchanges: one hashpartitioning(e) for the windows (reused by the
+    # partial+final agg) — anything beyond the agg's exchange is a
+    # regression. AQE may add AQEShuffleRead wrappers; count Exchange
+    # nodes only.
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
 
 
 def test_iterative_imputer_recovers_linear_signal(spark):
