@@ -727,7 +727,15 @@ def exact_dedup_incremental(
     Returns ``(kept_rows, new_hashes)``; successive ingests compose
     with ``seen_hashes.unionByName(new_hashes)`` (or an append to the
     hash table — one 32-char row per distinct document ever seen, the
-    only state exact dedup needs at 10^12 docs)."""
+    only state exact dedup needs at 10^12 docs).
+
+    INVARIANT: ``id_col`` must be unique within ``new_df``. The
+    ``keep_ids`` semi-join is keyed on the id alone — correct because
+    the min-id per content hash is one specific row — so a duplicated
+    id would silently keep its extra rows. Ingest paths that cannot
+    guarantee uniqueness should pre-aggregate; the check is not done
+    here because it would cost a full extra aggregation per batch on
+    what is a registry-enforced property upstream."""
     hashed = new_df.withColumn("content_md5", F.md5(F.col(text_col)))
     fresh = hashed.join(
         seen_hashes.select("content_md5"), "content_md5", "left_anti"

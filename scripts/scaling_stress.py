@@ -1,0 +1,148 @@
+"""Operator linear-scaling stress (BENCH/BASELINE.md protocol).
+
+Runs the same operator job at 1× (200k pages) and 3.34× (668k pages)
+synthetic webtext on local[32] and reports the wall-time ratio — an
+operator whose time ratio stays at-or-below the data ratio has no
+superlinear term (no quadratic join, no second shuffle that grows with
+data^2), which is the property that survives a 100 TB scale-up.
+
+Round-2 covered MinHash signatures / exact dedup / hash split / TF-IDF;
+round-3 adds the skew-split as-of join and connected components
+(VERDICT r2 item 10). Best-of-reps within one session per level: this
+VM's noisy-neighbor windows swing identical jobs 3-5×, so single
+samples are weather.
+
+Usage: python scripts/scaling_stress.py [--reps 3] [--append]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+
+# 200k pages (809k docs) as the 1x base: at the round-2 base of 60k
+# pages these jobs finish in ~2s of mostly fixed stage overhead, which
+# INVERTS the ratio (the 3.34x level benefits from in-session warmup
+# and measures faster than 1x) — a meaningless number. At 200k-base the
+# per-row work dominates and the ratio measures the operator.
+LEVELS = {"1x": 200_000, "3.34x": 668_000}
+DATA_RATIO = 668_000 / 200_000
+
+
+def _webtext(spark, n_pages: int) -> str:
+    os.environ["BENCH_WEBTEXT_PAGES"] = str(n_pages)
+    bench.WEBTEXT_PAGES = n_pages
+    bench.WEBTEXT_CACHE = f"/tmp/ballet_spark_webtext_{n_pages}.parquet"
+    return bench.ensure_webtext(spark)
+
+
+def asof_skew_job(spark, path: str) -> int:
+    """Skew-split as-of join over the Zipf-skewed webtext: hot urls
+    (top_k=50 probe-side) route through the broadcast path, the tail
+    through union+window — the plan the 100 TB backfill uses."""
+    from ballet_spark.plans.skew import asof_join_skew
+
+    pages = spark.read.parquet(path)
+    feats = pages.select(
+        "url", "warc_ts", F.length("text").cast("double").alias("text_len")
+    )
+    probes = pages.select(
+        "url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("ts")
+    )
+    j = asof_join_skew(probes, feats, on="url", left_ts="ts", right_ts="warc_ts")
+    return bench.sink(j)
+
+
+def components_job(spark, path: str) -> int:
+    """Connected components (min-label propagation + pointer jumping)
+    on an edge set that SCALES WITH THE CORPUS: one chain of 10 docs
+    per 10 corpus rows (fixed diameter → constant round count, so the
+    measurement isolates how per-round shuffle volume scales with
+    data — the property that matters at 10^12 docs). The real
+    pairs→components composition is correctness-tested by the
+    `dedup_components` driver query; timing IT at these corpus sizes
+    measures chained-job overhead on a few thousand webtext near-dup
+    edges, not the operator (round-3 finding, see BASELINE.md)."""
+    from ballet_spark.operators.components import connected_components
+
+    n_rows = spark.read.parquet(path).count()
+    ids = spark.range(n_rows)
+    edges = ids.filter(F.col("id") % 10 != 9).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components(edges)
+    return comp.count()
+
+
+JOBS = {"asof_join_skew": asof_skew_job, "dedup_components": components_job}
+
+
+def main() -> None:
+    from ballet_spark.session import get_spark
+
+    reps = 3
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+
+    spark = get_spark(app_name="scaling_stress", master="local[32]")
+    bench.warmup_workers(spark)
+    paths = {}
+    for level, n_pages in LEVELS.items():
+        paths[level] = _webtext(spark, n_pages)
+        spark.read.parquet(paths[level]).count()  # warm FS cache
+    results: dict[str, dict[str, float]] = {name: {} for name in JOBS}
+    # INTERLEAVE levels within each rep: this VM's noisy-neighbor
+    # windows last minutes, so running all of one level then all of the
+    # other lets a single window land entirely on one side and invert
+    # the ratio (observed in the first round-3 run); alternating gives
+    # both levels equal exposure to any window
+    for _ in range(reps):
+        for level, path in paths.items():
+            for name, job in JOBS.items():
+                t0 = time.perf_counter()
+                job(spark, path)
+                dt = round(time.perf_counter() - t0, 3)
+                prev = results[name].get(level)
+                results[name][level] = dt if prev is None or dt < prev else prev
+                spark.catalog.clearCache()
+    spark.stop()
+
+    report = {
+        "metric": "operator time ratio at 3.34x data (linear = 3.34)",
+        "data_ratio": round(DATA_RATIO, 2),
+        "results": {
+            name: {**r, "ratio": round(r["3.34x"] / r["1x"], 2)}
+            for name, r in results.items()
+        },
+    }
+    print(json.dumps(report))
+
+    if "--append" in sys.argv:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## Operator linear-scaling stress "
+                f"({time.strftime('%Y-%m-%d')}, round 3)\n\n"
+                "Same jobs at 1× (200k pages / 809k docs) and 3.34× (668k pages /\n"
+                "2.7M docs) webtext,\n"
+                "local[32], best-of-%d per level (protocol above):\n\n" % reps
+                + "| operator | 1× sec | 3.34× sec | time ratio (linear = 3.34) |\n"
+                "|---|---|---|---|\n"
+                + "".join(
+                    f"| {name} | {r['1x']} | {r['3.34x']} | "
+                    f"{round(r['3.34x'] / r['1x'], 2)} |\n"
+                    for name, r in results.items()
+                )
+            )
+
+
+if __name__ == "__main__":
+    main()
