@@ -1053,6 +1053,8 @@ def ts_features_user(spark, sf_dir):
         F.col("ts_longest_strike_above_mean")
         .cast("bigint")
         .alias("ts_longest_strike_above_mean"),
+        F.round("ts_autocorr1", 4).alias("ts_autocorr1"),
+        F.round("ts_cid_ce", 4).alias("ts_cid_ce"),
     )
 
 
@@ -2131,10 +2133,14 @@ def _generated_oracles() -> dict[str, str]:
 
     out["ts_features_user"] = """
         WITH d AS (SELECT user_id, ts, value,
+                          lag(value) OVER w AS lagv,
                           abs(value - lag(value) OVER w) AS chg,
                           coalesce(value > lag(value) OVER w
                                    AND value > lead(value) OVER w,
                                    false) AS peak,
+                          avg(value) OVER (PARTITION BY user_id) AS mu,
+                          var_pop(value) OVER (PARTITION BY user_id)
+                              AS varp,
                           coalesce(value > avg(value)
                                        OVER (PARTITION BY user_id),
                                    false) AS above,
@@ -2162,7 +2168,12 @@ def _generated_oracles() -> dict[str, str]:
                sum(CASE WHEN above THEN 1 ELSE 0 END)
                    AS ts_count_above_mean,
                max(CASE WHEN above THEN rn - coalesce(lna, 0)
-                        ELSE 0 END) AS ts_longest_strike_above_mean
+                        ELSE 0 END) AS ts_longest_strike_above_mean,
+               round(CASE WHEN count(value) > 1 AND max(varp) > 0
+                     THEN sum((value - mu) * (lagv - mu))
+                          / ((count(value) - 1) * max(varp))
+                     END, 4) AS ts_autocorr1,
+               round(sqrt(sum(chg * chg)), 4) AS ts_cid_ce
         FROM s GROUP BY user_id
     """
 

@@ -234,6 +234,191 @@ def image_features(
     return df.select(*cols).mapInPandas(extract, IMAGE_FEATURES_DDL)
 
 
+RESIZED_DDL = "url string, warc_ts timestamp, media binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Nearest-neighbor resize of PPM/PGM media to ``width×height``,
+    re-encoded as PGM bytes (luma) — the uniform-shape preprocessing
+    step before batched feature extraction / model input. Pure numpy
+    fancy-indexing per item inside one ``mapInPandas`` pass; rows with
+    NULL meta pass through with NULL media."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be >= 1x1, got {width}x{height}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out_media: list = []
+            for d, m in zip(pdf[media_col], pdf[meta_col]):
+                if m is None or d is None:
+                    out_media.append(None)
+                    continue
+                luma = decode_ppm(bytes(d))
+                h, w = luma.shape
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                small = luma[np.ix_(ys, xs)]
+                out_media.append(
+                    encode_ppm(np.clip(np.round(small), 0, 255).astype(np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "warc_ts": pdf["warc_ts"].to_numpy(),
+                    "media": pd.Series(out_media, dtype=object),
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                }
+            )
+
+    cols = ["url", "warc_ts", media_col, meta_col]
+    return df.select(*cols).mapInPandas(kernel, RESIZED_DDL)
+
+
+AUDIO_FEATURES_DDL = (
+    "url string, warc_ts timestamp, mime string, n_bytes long, "
+    "sample_rate int, n_samples long, duration_s double, "
+    "rms double, peak double, zero_cross_rate double"
+)
+
+
+def decode_wav(data: bytes):
+    """Pure-numpy decoder for RIFF/WAVE PCM audio (8-bit unsigned /
+    16-bit signed, any channel count) — the uncompressed format a real
+    pipeline uses for intermediate audio shards, so the REAL decode
+    path runs in-container. Returns ``(samples, sample_rate)`` with
+    samples float64 in [-1, 1], shape (n_frames, n_channels).
+    Compressed codecs raise :class:`NotImplementedError` naming the
+    missing dependency."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio magic {data[:8]!r}: only RIFF/WAVE PCM "
+            "decodes in-container; MP3/AAC/OGG require an audio codec "
+            "library (not present) — pass fake=True for the stub decoder"
+        )
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} (non-PCM) needs a codec "
+            "library; only PCM decodes in-container"
+        )
+    if bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported (8/16 only)")
+    n_frames = len(x) // n_channels
+    return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
+    """Inverse of :func:`decode_wav` for tests/benches: float samples
+    in [-1, 1] (1-D or (n, ch)) → 16-bit PCM RIFF/WAVE bytes."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    block = n_ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def _audio_fake(data: bytes):
+    """Deterministic stub: samples seeded by byte content."""
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(1600, 1)), 16_000
+
+
+def audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode + extract audio features via ``mapInPandas``: duration,
+    RMS energy, peak amplitude, zero-crossing rate (mono-mixed).
+    Same plumbing contract as :func:`image_features` — per-batch,
+    stateless, NULL meta → NULL features."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf[meta_col]
+            datas = pdf[media_col].map(lambda d: bytes(d) if d is not None else b"")
+            rows: dict[str, list] = {
+                k: [] for k in ("mime", "sr", "ns", "dur", "rms", "peak", "zcr")
+            }
+            for d, m in zip(datas, metas):
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                rows["mime"].append(m["mime"])
+                samples, sr = _audio_fake(d) if fake else decode_wav(d)
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                rows["sr"].append(sr)
+                rows["ns"].append(n)
+                rows["dur"].append(n / sr if sr else None)
+                rows["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else None)
+                rows["peak"].append(float(np.abs(mono).max()) if n else None)
+                rows["zcr"].append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "warc_ts": pdf["warc_ts"].to_numpy(),
+                    "mime": pd.array(rows["mime"], dtype="string"),
+                    "n_bytes": datas.map(len).to_numpy(dtype="int64"),
+                    "sample_rate": pd.array(rows["sr"], dtype="Int32"),
+                    "n_samples": pd.array(rows["ns"], dtype="Int64"),
+                    "duration_s": pd.array(rows["dur"], dtype="Float64"),
+                    "rms": pd.array(rows["rms"], dtype="Float64"),
+                    "peak": pd.array(rows["peak"], dtype="Float64"),
+                    "zero_cross_rate": pd.array(rows["zcr"], dtype="Float64"),
+                }
+            )
+
+    cols = ["url", "warc_ts", media_col, meta_col]
+    return df.select(*cols).mapInPandas(extract, AUDIO_FEATURES_DDL)
+
+
 def frame_sample_plan(
     df: DataFrame,
     n_frames: int = 4,

@@ -104,9 +104,12 @@ def ts_features(
     length, mean, std, min, max, sum, abs_energy (Σx²), mean_abs_change
     (mean |x_t − x_{t−1}| in event-time order), first and last value,
     number of peaks (strictly greater than both immediate neighbors,
-    tsfresh ``number_peaks(n=1)``), count above the series mean, and
+    tsfresh ``number_peaks(n=1)``), count above the series mean,
     longest strike above the series mean (tsfresh
-    ``longest_strike_above_mean``).
+    ``longest_strike_above_mean``), lag-1 autocorrelation (tsfresh
+    ``autocorrelation(lag=1)``: Σ(x_t−μ)(x_{t−1}−μ) / ((n−1)·σ²_pop)),
+    and ``cid_ce`` (√Σ(x_t−x_{t−1})², the complexity-invariant
+    distance estimate, non-normalized).
 
     Plan shape: every window expression shares
     ``partitionBy(entity)`` — the lag/lead/row_number/running-max
@@ -121,7 +124,10 @@ def ts_features(
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     v = F.col(value_col).cast("double")
     d = (
-        df.withColumn("__chg", F.abs(v - F.lag(v).over(w)))
+        df.withColumn("__lag", F.lag(v).over(w))
+        .withColumn("__chg", F.abs(v - F.col("__lag")))
+        .withColumn("__mean", F.avg(v).over(w_all))
+        .withColumn("__varp", F.var_pop(v).over(w_all))
         .withColumn(
             "__peak",
             F.coalesce((v > F.lag(v).over(w)) & (v > F.lead(v).over(w)), F.lit(False)),
@@ -130,7 +136,7 @@ def ts_features(
         # streak) — leaving the comparison NULL would make resets
         # depend on three-valued-logic subtleties the oracle would have
         # to replicate bug-for-bug
-        .withColumn("__above", F.coalesce(v > F.avg(v).over(w_all), F.lit(False)))
+        .withColumn("__above", F.coalesce(v > F.col("__mean"), F.lit(False)))
         .withColumn("__rn", F.row_number().over(w))
         .withColumn(
             "__last_not_above",
@@ -158,4 +164,13 @@ def ts_features(
         F.sum(F.col("__peak").cast("long")).alias(f"{prefix}_n_peaks"),
         F.sum(F.col("__above").cast("long")).alias(f"{prefix}_count_above_mean"),
         F.max("__streak").alias(f"{prefix}_longest_strike_above_mean"),
+        # autocorr denominator guarded: n<=1 or zero variance yield
+        # NULL (a plain division would give NULL in Spark but ±inf in
+        # some engines — the guard makes the semantics explicit)
+        F.when(
+            (F.count(v) > 1) & (F.max("__varp") > 0),
+            F.sum((v - F.col("__mean")) * (F.col("__lag") - F.col("__mean")))
+            / ((F.count(v) - 1) * F.max("__varp")),
+        ).alias(f"{prefix}_autocorr1"),
+        F.sqrt(F.sum(F.col("__chg") * F.col("__chg"))).alias(f"{prefix}_cid_ce"),
     )

@@ -71,6 +71,25 @@ def test_ts_features_hand_case(spark):
     assert out["ts_n_peaks"] == 1  # 4 > both neighbors
     assert out["ts_count_above_mean"] == 1  # only 4 > 7/3
     assert out["ts_longest_strike_above_mean"] == 1
+    # numpy oracles for the statistical additions
+    x = np.array([1.0, 4.0, 2.0])
+    mu, varp = x.mean(), x.var()
+    expect_ac = ((x[1:] - mu) * (x[:-1] - mu)).sum() / ((len(x) - 1) * varp)
+    assert out["ts_autocorr1"] == pytest.approx(expect_ac)
+    assert out["ts_cid_ce"] == pytest.approx(np.sqrt(np.sum(np.diff(x) ** 2)))
+
+
+def test_ts_features_autocorr_degenerate(spark):
+    # constant series: zero variance -> NULL autocorr, cid_ce 0
+    df = spark.createDataFrame(
+        [("u", float(i), 3.0) for i in range(4)] + [("solo", 0.0, 9.0)],
+        "e string, ts double, v double",
+    )
+    out = ts_features(df, "e", "ts", "v").toPandas().set_index("e")
+    assert np.isnan(out.loc["u", "ts_autocorr1"])
+    assert out.loc["u", "ts_cid_ce"] == 0.0
+    # single-row series: n<=1 -> NULL autocorr, cid_ce NULL (no pairs)
+    assert np.isnan(out.loc["solo", "ts_autocorr1"])
 
 
 def test_ts_features_streaks_and_peaks(spark):

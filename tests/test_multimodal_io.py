@@ -207,3 +207,108 @@ def test_image_features_null_meta_emits_nulls(spark):
     r = image_features(df, fake=False).collect()[0]
     assert r["width"] is None and r["height"] is None
     assert r["mean_luma"] is None and r["phash"] is None and r["mime"] is None
+
+
+def test_decode_wav_roundtrip_numpy_oracle():
+    from ballet_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    mono = rng.uniform(-0.9, 0.9, size=800)
+    out, sr = decode_wav(encode_wav(mono, 8000))
+    assert sr == 8000 and out.shape == (800, 1)
+    # encode scales by 32767, decode divides by 32768: bound 2/32768
+    assert np.allclose(out[:, 0], mono, atol=2.0 / 32768, rtol=0)
+
+    stereo = rng.uniform(-0.5, 0.5, size=(400, 2))
+    out2, sr2 = decode_wav(encode_wav(stereo, 44100))
+    assert sr2 == 44100 and out2.shape == (400, 2)
+    assert np.allclose(out2, stereo, atol=2.0 / 32768, rtol=0)
+
+    with pytest.raises(Exception, match="unsupported audio magic"):
+        decode_wav(b"ID3\x04....mp3data")
+    with pytest.raises(Exception, match="non-PCM"):
+        # format 85 = MP3-in-WAV
+        bad = bytearray(encode_wav(mono, 8000))
+        bad[20:22] = (85).to_bytes(2, "little")
+        decode_wav(bytes(bad))
+
+
+def test_audio_features_real_wav_path(spark):
+    import pandas as pd
+
+    from ballet_spark.functions.multimodal import audio_features, encode_wav
+
+    rng = np.random.default_rng(5)
+    rows, oracle = [], {}
+    for i in range(5):
+        n = 500 + 100 * i
+        mono = rng.uniform(-1, 1, size=n)
+        data = encode_wav(mono, 8000)
+        url = f"http://a.test/{i}"
+        q = np.round(np.clip(mono * 32767, -32768, 32767)) / 32768.0
+        oracle[url] = (n, float(np.sqrt(np.mean(q**2))), float(np.abs(q).max()))
+        rows.append((url, pd.Timestamp("2024-01-01").to_pydatetime(), data,
+                     ("audio/wav", 0, 0, 0.0)))
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    out = {r["url"]: r for r in audio_features(df, fake=False).collect()}
+    for url, (n, rms, peak) in oracle.items():
+        r = out[url]
+        assert r["n_samples"] == n and r["sample_rate"] == 8000
+        assert abs(r["duration_s"] - n / 8000.0) < 1e-12
+        assert abs(r["rms"] - rms) < 1e-9 and abs(r["peak"] - peak) < 1e-9
+        assert 0.0 < r["zero_cross_rate"] < 1.0
+
+
+def test_audio_features_null_meta_and_fake(spark):
+    import pandas as pd
+
+    from ballet_spark.functions.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [
+            ("u1", pd.Timestamp("2024-01-01").to_pydatetime(), b"xx", None),
+            ("u2", pd.Timestamp("2024-01-01").to_pydatetime(), b"yy",
+             ("audio/fake", 0, 0, 0.0)),
+        ],
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    out = {r["url"]: r for r in audio_features(df, fake=True).collect()}
+    assert out["u1"]["rms"] is None and out["u1"]["sample_rate"] is None
+    assert out["u2"]["rms"] is not None and out["u2"]["n_samples"] == 1600
+
+
+def test_resize_images_real_path(spark):
+    import pandas as pd
+
+    from ballet_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(32, 24), dtype=np.uint8)
+    rows = [
+        ("u1", pd.Timestamp("2024-01-01").to_pydatetime(), encode_ppm(arr),
+         ("image/x-portable", 24, 32, 0.0)),
+        ("u2", pd.Timestamp("2024-01-01").to_pydatetime(), b"zz", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    out = {r["url"]: r for r in resize_images(df, 8, 8).collect()}
+    got = decode_ppm(bytes(out["u1"]["media"]))
+    assert got.shape == (8, 8)
+    # numpy oracle: same nearest-neighbor grid
+    ys, xs = (np.arange(8) * 32) // 8, (np.arange(8) * 24) // 8
+    assert np.array_equal(got, arr[np.ix_(ys, xs)].astype(float))
+    assert out["u2"]["media"] is None  # NULL meta passes through
+    with pytest.raises(ValueError, match=">= 1x1"):
+        resize_images(df, 0, 8)
