@@ -1423,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_delta": window_lag_delta,
         "rolling_mean_5": rolling_mean_5,
         "forward_fill": forward_fill,
+        "cumulative_stats": cumulative_stats,
         "sessionize_30m": sessionize_30m,
         "asof_join_purchase": asof_join_purchase,
         "asof_skew_split": asof_skew_split,
@@ -1449,7 +1450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxcox_value": boxcox_value,
         # --- (4) double-verified round-1 queries (past the window) ---
         "q3_top_revenue_orders": q3_top_revenue_orders,
-        "cumulative_stats": cumulative_stats,
         "session_stats_30m": session_stats_30m,
         "count_encode_lang": count_encode_lang,
         "ordinal_encode_lang": ordinal_encode_lang,

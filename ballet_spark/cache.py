@@ -8,39 +8,45 @@ reference. That leaves the blocks alive until the session ends, which
 accumulates executor storage across repeated dedup/serving calls.
 
 This registry is the middle path: every operator-persist goes through
-:func:`persist_tracked`, and callers release exactly those blocks with
-:func:`release_caches` — no global ``spark.catalog.clearCache()`` that
-would also evict caches the caller created for other reasons.
+:func:`persist_tracked` under a SCOPE, and callers release exactly one
+scope's blocks with :func:`release_caches(scope)` — no global
+``spark.catalog.clearCache()`` that would also evict caches the caller
+created for other reasons, and releasing the batch-dedup scope cannot
+unpersist the long-lived history table a live streaming serve depends
+on (scope ``"serving"``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[DataFrame] = []
+_PERSISTED: dict[str, list[DataFrame]] = {}
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + register the handle for deterministic
-    release. The persist is still lazy; callers that need eager
-    materialization (self-join race protection) count() afterwards as
-    before."""
+def persist_tracked(df: DataFrame, scope: str = "dedup") -> DataFrame:
+    """``df.persist()`` + register the handle under ``scope`` for
+    deterministic release. The persist is still lazy; callers that
+    need eager materialization (self-join race protection) count()
+    afterwards as before."""
     handle = df.persist()
-    _PERSISTED.append(handle)
+    _PERSISTED.setdefault(scope, []).append(handle)
     return handle
 
 
-def release_caches() -> int:
-    """Unpersist (best-effort) every intermediate registered by
-    :func:`persist_tracked` and empty the registry. Returns how many
-    handles were released. Safe after a session stop — dead handles
-    are skipped."""
+def release_caches(scope: str | None = "dedup") -> int:
+    """Unpersist (best-effort) every intermediate registered under
+    ``scope`` (``None`` = every scope) and drop it from the registry.
+    Returns how many handles were released. Safe after a session stop
+    — dead handles are skipped. The default releases only the
+    batch-dedup scope; long-lived serving caches (scope ``"serving"``)
+    are released only when named explicitly or with ``None``."""
+    scopes = list(_PERSISTED) if scope is None else [scope]
     n = 0
-    while _PERSISTED:
-        handle = _PERSISTED.pop()
-        try:
-            handle.unpersist()
-            n += 1
-        except Exception:
-            pass  # session stopped; blocks already gone
+    for sc in scopes:
+        for handle in _PERSISTED.pop(sc, []):
+            try:
+                handle.unpersist()
+                n += 1
+            except Exception:
+                pass  # session stopped; blocks already gone
     return n

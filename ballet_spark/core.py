@@ -89,21 +89,56 @@ def _code_key(code) -> str:
     return "(" + ",".join(parts) + ")"
 
 
-_ADDR_RE = re.compile(r"0x[0-9a-fA-F]+")
+_DEFAULT_REPR_RE = re.compile(r"<[\w.]+ object at 0x[0-9a-fA-F]+>")
 
 
 def _value_key(v, depth: int = 0) -> str:
-    """Process-stable key for a captured value. Functions recurse
-    (their closures may themselves capture functions); code objects go
-    through ``_code_key``; everything else is repr'd with any embedded
-    ``0x...`` memory address masked so the key survives a restart."""
+    """Process-stable key for a captured value.
+
+    Primitives repr exactly (a literal ``'0x1f'`` string must NOT be
+    masked); containers recurse with sets/dicts ordered by element key
+    so the result doesn't depend on ``PYTHONHASHSEED``; functions
+    recurse through ``_callable_key`` (their closures may themselves
+    capture functions). Arbitrary objects use class identity plus
+    their ``vars()`` recursed — two instances differing only in
+    attributes must hash apart, and the default ``<... object at
+    0x...>`` repr (memory address: different every process) is never
+    allowed into the key."""
     if depth > 8:
         return "<deep>"
+    if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
+        return repr(v)
     if callable(v) and hasattr(v, "__code__"):
         return "fn:" + _callable_key(v, depth + 1)
     if hasattr(v, "co_code"):
         return _code_key(v)
-    return _ADDR_RE.sub("0xADDR", repr(v))
+    if isinstance(v, (tuple, list)):
+        tag = "t" if isinstance(v, tuple) else "l"
+        return tag + "(" + ",".join(_value_key(x, depth + 1) for x in v) + ")"
+    if isinstance(v, (set, frozenset)):
+        return "s(" + ",".join(sorted(_value_key(x, depth + 1) for x in v)) + ")"
+    if isinstance(v, dict):
+        items = sorted(
+            (_value_key(k, depth + 1), _value_key(x, depth + 1))
+            for k, x in v.items()
+        )
+        return "d(" + ",".join(f"{k}:{x}" for k, x in items) + ")"
+    cls = f"{type(v).__module__}.{type(v).__qualname__}"
+    try:
+        state = vars(v)
+    except TypeError:
+        state = None
+    if state is not None:
+        items = sorted(
+            (k, _value_key(x, depth + 1)) for k, x in state.items()
+        )
+        return f"o[{cls}](" + ",".join(f"{k}={x}" for k, x in items) + ")"
+    r = repr(v)
+    if _DEFAULT_REPR_RE.search(r):
+        # default object repr embeds a memory address — opaque but
+        # stable beats unique-per-process
+        return f"o[{cls}]<opaque>"
+    return f"o[{cls}]{r}"
 
 
 def _callable_key(fn: Callable, depth: int = 0) -> str:

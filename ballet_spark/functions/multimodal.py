@@ -109,16 +109,22 @@ def decode_ppm(data: bytes) -> np.ndarray:
             f"16-bit netpbm (maxval={maxval}) not supported by the "
             "pure-numpy decoder"
         )
+    # netpbm spec: sample values are fractions of maxval — scale to the
+    # standard 0-255 range so features match reference decoders for
+    # files with maxval != 255 (e.g. 4-bit scans with maxval=15)
+    scale = 255.0 / maxval
     if magic == b"P6":
         n = w * h * 3
         if len(data) - off < n:
             raise ValueError(f"truncated P6 raster: need {n} bytes, have {len(data) - off}")
         rgb = np.frombuffer(data, dtype=np.uint8, count=n, offset=off).reshape(h, w, 3)
-        return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return luma * scale
     n = w * h
     if len(data) - off < n:
         raise ValueError(f"truncated P5 raster: need {n} bytes, have {len(data) - off}")
-    return np.frombuffer(data, dtype=np.uint8, count=n, offset=off).reshape(h, w).astype(float)
+    gray = np.frombuffer(data, dtype=np.uint8, count=n, offset=off).reshape(h, w)
+    return gray.astype(float) * scale
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -190,13 +196,15 @@ def image_features(
             heights: list = []
             mimes: list = []
             for d, m in zip(datas, metas):
-                # a NULL meta struct must not kill the batch: rows
-                # without metadata decode to nothing and emit NULLs
-                if m is None:
+                # NULL meta OR NULL/empty media must not kill the
+                # batch: such rows decode to nothing and emit NULLs
+                # (feeding b'' to a real decoder would raise
+                # 'unsupported format' and fail the whole job)
+                if m is None or not d:
                     lumas.append(None)
                     widths.append(None)
                     heights.append(None)
-                    mimes.append(None)
+                    mimes.append(m["mime"] if m is not None else None)
                     continue
                 mimes.append(m["mime"])
                 if fake:
@@ -253,17 +261,21 @@ def resize_images(
         raise ValueError(f"target size must be >= 1x1, got {width}x{height}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
+        grids: dict = {}  # (h, w) -> index grid; shapes repeat per shard
         for pdf in batches:
             out_media: list = []
             for d, m in zip(pdf[media_col], pdf[meta_col]):
-                if m is None or d is None:
+                if m is None or not d:
                     out_media.append(None)
                     continue
                 luma = decode_ppm(bytes(d))
                 h, w = luma.shape
-                ys = (np.arange(height) * h) // height
-                xs = (np.arange(width) * w) // width
+                if (h, w) not in grids:
+                    grids[(h, w)] = (
+                        (np.arange(height) * h) // height,
+                        (np.arange(width) * w) // width,
+                    )
+                ys, xs = grids[(h, w)]
                 small = luma[np.ix_(ys, xs)]
                 out_media.append(
                     encode_ppm(np.clip(np.round(small), 0, 255).astype(np.uint8))
@@ -319,6 +331,8 @@ def decode_wav(data: bytes):
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if n_channels < 1:
+        raise ValueError("malformed WAV: zero channels in fmt chunk")
     if audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} (non-PCM) needs a codec "
@@ -382,8 +396,11 @@ def audio_features(
                 k: [] for k in ("mime", "sr", "ns", "dur", "rms", "peak", "zcr")
             }
             for d, m in zip(datas, metas):
-                if m is None:
-                    for k in rows:
+                # NULL meta or NULL/empty media → NULL features (b''
+                # through the real decoder would fail the whole job)
+                if m is None or not d:
+                    rows["mime"].append(m["mime"] if m is not None else None)
+                    for k in ("sr", "ns", "dur", "rms", "peak", "zcr"):
                         rows[k].append(None)
                     continue
                 rows["mime"].append(m["mime"])

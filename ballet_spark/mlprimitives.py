@@ -96,9 +96,15 @@ def drop_missing_targets(
     distributed frame, so the engine drops NULL/NaN-target rows from
     ``y_df`` and KEY-aligns X with a semi-join on ``key_cols`` — the
     same surviving rows, join-aligned instead of index-aligned."""
-    y_ok = y_df.filter(
-        F.col(y_col).isNotNull() & ~F.isnan(F.col(y_col).cast("double"))
-    )
+    from pyspark.sql.types import DoubleType, FloatType
+
+    # "missing" = NULL for any dtype, plus NaN for float targets only —
+    # casting a categorical/string target to double would throw under
+    # ANSI mode (the reference's DropMissingTargets handles any dtype)
+    cond = F.col(y_col).isNotNull()
+    if isinstance(y_df.schema[y_col].dataType, (DoubleType, FloatType)):
+        cond = cond & ~F.isnan(F.col(y_col))
+    y_ok = y_df.filter(cond)
     X_ok = X_df.join(
         y_ok.select(*key_cols).distinct(), on=list(key_cols), how="semi"
     )

@@ -251,8 +251,11 @@ def stream_asof_features(
     from ballet_spark.cache import persist_tracked
     from ballet_spark.operators.asof import asof_join_history, entity_history
 
+    # scope "serving": a batch-dedup release_caches() must not evict
+    # the history table every micro-batch still probes
     hist = persist_tracked(
-        entity_history(features, on=on, right_ts=right_ts, value_cols=value_cols)
+        entity_history(features, on=on, right_ts=right_ts, value_cols=value_cols),
+        scope="serving",
     )
     hist.count()
     return asof_join_history(

@@ -245,19 +245,27 @@ def test_hash_callable_folds_closures_and_defaults():
 
 def test_release_caches_releases_tracked_persists(spark, webtext_df):
     """ADVICE r3: dedup intermediates are released deterministically via
-    release_caches(), no global clearCache needed."""
-    from ballet_spark.cache import _PERSISTED, release_caches
+    release_caches(), no global clearCache needed — and the release is
+    SCOPED: the batch-dedup scope cannot evict a serving-scope cache a
+    live stream still depends on."""
+    from ballet_spark.cache import _PERSISTED, persist_tracked, release_caches
     from ballet_spark.operators.dedup import minhash_lsh_pairs
 
-    release_caches()  # clean slate
+    release_caches(None)  # clean slate, every scope
     pairs = minhash_lsh_pairs(webtext_df.limit(40), "url", "text")
     pairs.count()
-    assert len(_PERSISTED) > 0
-    handles = list(_PERSISTED)
-    n = release_caches()
+    assert len(_PERSISTED.get("dedup", [])) > 0
+    serving = persist_tracked(webtext_df.limit(3), scope="serving")
+    serving.count()
+    handles = list(_PERSISTED["dedup"])
+    n = release_caches()  # default: dedup scope only
     assert n == len(handles)
-    assert not _PERSISTED
+    assert "dedup" not in _PERSISTED
     assert all(h.storageLevel.useMemory is False for h in handles)
+    # the serving cache survived the dedup release
+    assert serving.storageLevel.useMemory
+    assert release_caches("serving") == 1
+    assert not serving.storageLevel.useMemory
 
 
 def test_cached_keeps_live_session_entries(spark, webtext_df):

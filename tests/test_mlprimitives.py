@@ -78,3 +78,17 @@ def test_drop_missing_targets_key_aligns(spark):
     X_ok, y_ok = drop_missing_targets(X, y)
     assert [tuple(r) for r in y_ok.collect()] == [("a", 1, 1.0)]
     assert [tuple(r) for r in X_ok.collect()] == [("a", 1, 10.0)]
+
+
+def test_drop_missing_targets_string_labels(spark):
+    """Categorical targets must work: only NULL counts as missing (a
+    double-cast would throw under ANSI mode on 'spam')."""
+    X = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0)], "url string, warc_ts int, f double"
+    )
+    y = spark.createDataFrame(
+        [("a", 1, "spam"), ("a", 2, None)], "url string, warc_ts int, y string"
+    )
+    X_ok, y_ok = drop_missing_targets(X, y)
+    assert [r["y"] for r in y_ok.collect()] == ["spam"]
+    assert X_ok.count() == 1

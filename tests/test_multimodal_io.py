@@ -312,3 +312,46 @@ def test_resize_images_real_path(spark):
     assert out["u2"]["media"] is None  # NULL meta passes through
     with pytest.raises(ValueError, match=">= 1x1"):
         resize_images(df, 0, 8)
+
+
+def test_decode_ppm_maxval_scaling():
+    """netpbm samples are fractions of maxval — a maxval=15 scan must
+    decode to the standard 0-255 range like reference decoders."""
+    from ballet_spark.functions.multimodal import decode_ppm
+
+    data = b"P5\n2 1\n15\n" + bytes([0, 15])
+    out = decode_ppm(data)
+    assert out[0, 0] == 0.0 and out[0, 1] == 255.0
+
+
+def test_media_null_bytes_with_meta_emit_nulls(spark):
+    """A row with NULL media but populated meta must emit NULL features,
+    not crash the decode kernel with 'unsupported format b\\'\\''."""
+    import pandas as pd
+
+    from ballet_spark.functions.multimodal import audio_features, image_features
+
+    df = spark.createDataFrame(
+        [("u1", pd.Timestamp("2024-01-01").to_pydatetime(), None,
+          ("image/x-portable", 4, 4, 0.0))],
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    r = image_features(df, fake=False).collect()[0]
+    assert r["phash"] is None and r["mean_luma"] is None
+    assert r["mime"] == "image/x-portable"  # meta itself still surfaces
+    a = audio_features(df, fake=False).collect()[0]
+    assert a["rms"] is None and a["sample_rate"] is None
+
+
+def test_decode_wav_zero_channels_rejected():
+    import numpy as np
+
+    from ballet_spark.functions.multimodal import decode_wav, encode_wav
+
+    bad = bytearray(encode_wav(np.zeros(16), 8000))
+    bad[22:24] = (0).to_bytes(2, "little")  # fmt n_channels = 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bytes(bad))
