@@ -51,6 +51,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sround(col, d: int):
+    """Engine-stable rounding: sign(x)·floor(|x|·10^d + 0.5)/10^d in
+    pure double arithmetic. `round()` implementations legitimately
+    disagree on the SAME double at .xxx5 boundaries (Spark rounds the
+    exact binary expansion via BigDecimal HALF_UP; DuckDB multiplies
+    by 10^d first, whose float error can cross the boundary) —
+    observed flipping one value at sf0.01. When the input double is
+    already engine-identical (exact decimal sums), this expression
+    makes the rounded output engine-identical too; the oracle spells
+    out the same formula. NaN/NULL propagate; 10^d must stay within
+    exact-double range (d ≤ 15)."""
+    col = col.cast("double")
+    s = float(10**d)
+    return F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -933,8 +949,12 @@ def _contrast_query(scheme: str, alias: str):
         )
         out = pipe.fit(docs).transform(docs)
         enc_cols = [c for c in out.columns if c.startswith(alias)]
+        # + 0.0 normalizes IEEE negative zero: the polynomial matrix's
+        # middle-category linear term is -2.9e-17, which rounds to -0.0
+        # here but 0.0 in DuckDB — distinct in the value hash
         return out.select(
-            "doc_id", *[F.round(c, 4).alias(c) for c in enc_cols]
+            "doc_id",
+            *[(F.round(c, 4) + F.lit(0.0)).alias(c) for c in enc_cols],
         )
 
     return q
@@ -1006,55 +1026,69 @@ def dfs_customer_orders(spark, sf_dir):
     with agg primitives."""
     from ballet_spark.operators.dfs import DFSAggFeatures
 
+    # money flows through DECIMAL(18,2): float sums of prices are
+    # order-dependent and land exactly on .xx5 rounding boundaries
+    # (observed: one nation's mean flipped at sf0.01 vs the oracle);
+    # decimal sums are associative, so any partitioning/engine agrees.
+    # Means divide the exact sums by the FULL customer count (cast to
+    # double first — decimal division scale rules differ per engine).
     orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     lvl1 = DFSAggFeatures(
         orders, "c_custkey", ["o_totalprice"],
-        agg_primitives=("sum", "mean", "max"), prefix="ord",
+        agg_primitives=("sum",), prefix="ord",
     ).augment(cust, "c_custkey")
     lvl2 = DFSAggFeatures(
         lvl1, "c_nationkey", ["ord_sum_o_totalprice", "ord_count"],
-        agg_primitives=("sum", "mean"), count=True, prefix="cust",
+        agg_primitives=("sum",), count=True, prefix="cust",
     ).features()
+    total = F.col("cust_sum_ord_sum_o_totalprice").cast("double")
+    cnt = F.col("cust_count")
     return lvl2.select(
         "c_nationkey",
-        F.round("cust_sum_ord_sum_o_totalprice", 2).alias("nation_order_total"),
-        F.round("cust_mean_ord_sum_o_totalprice", 2).alias("mean_cust_order_total"),
+        F.round(total, 2).alias("nation_order_total"),
+        F.round(total / cnt, 2).alias("mean_cust_order_total"),
         F.round("cust_sum_ord_count", 4).alias("nation_order_cnt"),
-        F.round("cust_mean_ord_count", 4).alias("mean_cust_order_cnt"),
-        F.col("cust_count").alias("n_customers"),
+        F.round(F.col("cust_sum_ord_count") / cnt, 4).alias("mean_cust_order_cnt"),
+        cnt.alias("n_customers"),
     )
 
 
 def ts_features_user(spark, sf_dir):
     """tsfresh-FeatureAugmenter-style per-entity feature vector over
     event values: one shared (entity,time) window + one aggregation for
-    the whole catalog."""
+    the whole catalog. ``exact_sums=True``: decimal accumulation makes
+    every sum/mean order-independent, so the value is IDENTICAL across
+    engines and partitionings (float sums flipped a rounding boundary
+    at sf0.01 — see the operator docstring)."""
     from ballet_spark.operators.dfs import ts_features
 
     ev = _t(spark, sf_dir, "events")
-    out = ts_features(ev, "user_id", "ts", "value")
+    out = ts_features(ev, "user_id", "ts", "value", exact_sums=True)
+    # _sround, not F.round: the exact sums make the doubles identical
+    # across engines, and _sround makes the ROUNDING identical too
     return out.select(
         "user_id",
         F.col("ts_length").alias("ts_length"),
-        F.round("ts_mean", 4).alias("ts_mean"),
-        F.round("ts_std", 4).alias("ts_std"),
-        F.round("ts_min", 4).alias("ts_min"),
-        F.round("ts_max", 4).alias("ts_max"),
-        F.round("ts_sum", 4).alias("ts_sum"),
-        F.round("ts_abs_energy", 2).alias("ts_abs_energy"),
-        F.round("ts_mean_abs_change", 4).alias("ts_mean_abs_change"),
-        F.round("ts_first", 4).alias("ts_first"),
-        F.round("ts_last", 4).alias("ts_last"),
+        _sround(F.col("ts_mean"), 4).alias("ts_mean"),
+        _sround(F.col("ts_std"), 4).alias("ts_std"),
+        _sround(F.col("ts_min"), 4).alias("ts_min"),
+        _sround(F.col("ts_max"), 4).alias("ts_max"),
+        _sround(F.col("ts_sum"), 4).alias("ts_sum"),
+        _sround(F.col("ts_abs_energy"), 2).alias("ts_abs_energy"),
+        _sround(F.col("ts_mean_abs_change"), 4).alias("ts_mean_abs_change"),
+        _sround(F.col("ts_first"), 4).alias("ts_first"),
+        _sround(F.col("ts_last"), 4).alias("ts_last"),
         F.col("ts_n_peaks").alias("ts_n_peaks"),
         F.col("ts_count_above_mean").alias("ts_count_above_mean"),
         F.col("ts_longest_strike_above_mean")
         .cast("bigint")
         .alias("ts_longest_strike_above_mean"),
-        F.round("ts_autocorr1", 4).alias("ts_autocorr1"),
-        F.round("ts_cid_ce", 4).alias("ts_cid_ce"),
+        _sround(F.col("ts_autocorr1"), 4).alias("ts_autocorr1"),
+        _sround(F.col("ts_cid_ce"), 4).alias("ts_cid_ce"),
     )
 
 
@@ -2094,10 +2128,11 @@ def _generated_oracles() -> dict[str, str]:
         ("poly_encode_lang", "polynomial", "pc"),
     ]:
         cm = contrast_matrix(scheme, 5)
+        # "+ 0.0" matches the Spark side's negative-zero normalization
         cols = ", ".join(
             "round(CASE i "
             + " ".join(f"WHEN {i} THEN {float(cm[i][j])!r}" for i in range(5))
-            + f" ELSE 0.0 END, 4) AS {alias}_{j}"
+            + f" ELSE 0.0 END, 4) + 0.0 AS {alias}_{j}"
             for j in range(4)
         )
         out[name] = f"""
@@ -2118,65 +2153,110 @@ def _generated_oracles() -> dict[str, str]:
 
     out["dfs_customer_orders"] = """
         WITH ord AS (SELECT o_custkey AS c_custkey,
-                            sum(o_totalprice) AS osum, count(*) AS ocnt
+                            sum(o_totalprice::DECIMAL(18,2)) AS osum,
+                            count(*) AS ocnt
                      FROM orders GROUP BY 1),
         lvl1 AS (SELECT c.c_custkey, c.c_nationkey, ord.osum, ord.ocnt
                  FROM customer c LEFT JOIN ord USING (c_custkey))
         SELECT c_nationkey,
-               round(sum(osum), 2) AS nation_order_total,
-               round(avg(osum), 2) AS mean_cust_order_total,
+               round(sum(osum)::DOUBLE, 2) AS nation_order_total,
+               round(sum(osum)::DOUBLE / count(*), 2)
+                   AS mean_cust_order_total,
                sum(ocnt)::BIGINT AS nation_order_cnt,
-               round(avg(ocnt), 4) AS mean_cust_order_cnt,
+               round(sum(ocnt)::BIGINT / count(*)::DOUBLE, 4)
+                   AS mean_cust_order_cnt,
                count(*) AS n_customers
         FROM lvl1 GROUP BY c_nationkey
     """
 
-    out["ts_features_user"] = """
+    # exact_sums mirror: every sum/mean accumulates as fixed-point
+    # MICROUNITS — floor(x·10^6 + 0.5) summed as integral
+    # DECIMAL(38,0) (order-independent AND engine-exact; casting a
+    # fractional double to decimal is NOT portable: Spark snaps to the
+    # shortest decimal repr, DuckDB expands the binary value — a
+    # measured 1-ulp sum divergence); derived mu/varp/std use the same
+    # exact moments; integer sums cast to BIGINT (DuckDB's HUGEINT
+    # would surface as float64 in the compared frame); and rounding is
+    # the explicit sign/floor formula `_sround` uses — round()
+    # built-ins disagree across engines at .xxx5 boundaries
+    def qsum(expr: str) -> str:
+        return (
+            f"sum(CAST(floor(({expr}) * 1000000.0 + 0.5)"
+            f" AS DECIMAL(38,0)))::DOUBLE / 1000000.0"
+        )
+
+    def sr(expr: str, d: int) -> str:
+        s = 10**d
+        return (
+            f"(sign({expr}) * floor(abs({expr}) * {s}.0 + 0.5) / {s}.0)"
+        )
+
+    E1 = qsum("value")
+    E2 = qsum("value * value")
+    MAC = f"{qsum('chg')} / count(chg)"
+    STD = (
+        f"CASE WHEN count(value) > 1 THEN sqrt(greatest("
+        f"({E2} - {E1} * {E1} / count(value)) / (count(value) - 1), 0.0))"
+        f" END"
+    )
+    AC = (
+        f"CASE WHEN count(value) > 1 AND max(varp) > 0 THEN "
+        f"{qsum('(value - mu) * (lagv - mu)')}"
+        f" / ((count(value) - 1) * max(varp)) END"
+    )
+    CID = f"sqrt({qsum('chg * chg')})"
+    QW1 = (
+        "(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
+        " OVER pw)::DOUBLE / 1000000.0 / count(value) OVER pw"
+    )
+    QW2 = (
+        "(sum(CAST(floor(value * value * 1000000.0 + 0.5)"
+        " AS DECIMAL(38,0))) OVER pw)::DOUBLE / 1000000.0"
+        " / count(value) OVER pw"
+    )
+    out["ts_features_user"] = f"""
         WITH d AS (SELECT user_id, ts, value,
                           lag(value) OVER w AS lagv,
                           abs(value - lag(value) OVER w) AS chg,
                           coalesce(value > lag(value) OVER w
                                    AND value > lead(value) OVER w,
                                    false) AS peak,
-                          avg(value) OVER (PARTITION BY user_id) AS mu,
-                          var_pop(value) OVER (PARTITION BY user_id)
+                          {QW1} AS mu,
+                          greatest({QW2} - ({QW1}) * ({QW1}), 0.0)
                               AS varp,
-                          coalesce(value > avg(value)
-                                       OVER (PARTITION BY user_id),
-                                   false) AS above,
                           row_number() OVER w AS rn
                    FROM events
-                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+                          pw AS (PARTITION BY user_id)),
+        d2 AS (SELECT *, coalesce(value > mu, false) AS above FROM d),
         s AS (SELECT *,
                      max(CASE WHEN NOT above THEN rn END) OVER
                          (PARTITION BY user_id ORDER BY ts
                           ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS lna
-              FROM d)
+              FROM d2)
         SELECT user_id,
                count(value) AS ts_length,
-               round(avg(value), 4) AS ts_mean,
-               round(stddev_samp(value), 4) AS ts_std,
-               round(min(value), 4) AS ts_min,
-               round(max(value), 4) AS ts_max,
-               round(sum(value), 4) AS ts_sum,
-               round(sum(value * value), 2) AS ts_abs_energy,
-               round(avg(chg), 4) AS ts_mean_abs_change,
-               round(min_by(value, ts), 4) AS ts_first,
-               round(max_by(value, ts), 4) AS ts_last,
-               sum(CASE WHEN peak THEN 1 ELSE 0 END) AS ts_n_peaks,
-               sum(CASE WHEN above THEN 1 ELSE 0 END)
+               {sr(f"{E1} / count(value)", 4)} AS ts_mean,
+               {sr(STD, 4)} AS ts_std,
+               {sr("min(value)", 4)} AS ts_min,
+               {sr("max(value)", 4)} AS ts_max,
+               {sr(E1, 4)} AS ts_sum,
+               {sr(E2, 2)} AS ts_abs_energy,
+               {sr(MAC, 4)} AS ts_mean_abs_change,
+               {sr("min_by(value, ts)", 4)} AS ts_first,
+               {sr("max_by(value, ts)", 4)} AS ts_last,
+               sum(CASE WHEN peak THEN 1 ELSE 0 END)::BIGINT
+                   AS ts_n_peaks,
+               sum(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT
                    AS ts_count_above_mean,
                max(CASE WHEN above THEN rn - coalesce(lna, 0)
-                        ELSE 0 END) AS ts_longest_strike_above_mean,
-               round(CASE WHEN count(value) > 1 AND max(varp) > 0
-                     THEN sum((value - mu) * (lagv - mu))
-                          / ((count(value) - 1) * max(varp))
-                     END, 4) AS ts_autocorr1,
-               round(sqrt(sum(chg * chg)), 4) AS ts_cid_ce
+                        ELSE 0 END)::BIGINT
+                   AS ts_longest_strike_above_mean,
+               {sr(AC, 4)} AS ts_autocorr1,
+               {sr(CID, 4)} AS ts_cid_ce
         FROM s GROUP BY user_id
     """
-
     out["iterative_impute_value"] = """
         WITH base AS (
             SELECT event_id, user_id::DOUBLE AS uid, epoch(ts) AS t,

@@ -99,6 +99,7 @@ def ts_features(
     time_col: str,
     value_col: str,
     prefix: str = "ts",
+    exact_sums: bool = False,
 ) -> DataFrame:
     """tsfresh-FeatureAugmenter-style fixed feature vector per entity:
     length, mean, std, min, max, sum, abs_energy (Σx²), mean_abs_change
@@ -118,16 +119,63 @@ def ts_features(
     hash aggregation (asserted by tests/test_plan_shapes.py). The
     streak uses the running-max gaps-and-islands form (streak = rn −
     last not-above rn) instead of a second groupBy on (entity, island)
-    precisely to avoid a second shuffle."""
+    precisely to avoid a second shuffle.
+
+    ``exact_sums=True`` accumulates every sum/mean (and the mean/var
+    the comparison features derive from) as FIXED-POINT MICROUNITS:
+    each term is quantized to 10^-6 with ``floor(x·10^6 + 0.5)`` and
+    summed as an exact integral ``decimal(38,0)``. Float summation is
+    ORDER-DEPENDENT, and when the data has low-decimal structure
+    (prices, rounded sensor values) group sums land exactly on
+    rounding boundaries, where a one-ulp partitioning difference flips
+    the rounded result — observed at sf0.01 between this engine and
+    the DuckDB oracle. Integer sums are associative AND engine-exact —
+    casting a fractional double to decimal is NOT portable (this
+    engine snaps to the shortest decimal repr, DuckDB expands the
+    exact binary value; measured 1-ulp sum divergence), but floor on
+    identical doubles is identical everywhere and integral decimals
+    have nothing to disagree on. Also makes lineage digests
+    replayable. Cost: ~2× on the agg (still one shuffle); terms must
+    satisfy |x| < 9·10^9 (so x·10^6 stays integer-exact in a double);
+    values are quantized to 5·10^-7, far below the per-feature
+    rounding any consumer applies."""
     w = Window.partitionBy(entity_col).orderBy(time_col)
     w_all = Window.partitionBy(entity_col)
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     v = F.col(value_col).cast("double")
+
+    Q = 1e6
+
+    def dq(col):
+        """Microunit quantization: exact integral decimal."""
+        return F.floor(col * Q + F.lit(0.5)).cast("decimal(38,0)")
+
+    def dsum(col):
+        """Order-independent, engine-exact sum; double out."""
+        return F.sum(dq(col)).cast("double") / Q
+
+    if exact_sums:
+        mean_win = (
+            F.sum(dq(v)).over(w_all).cast("double") / Q
+            / F.count(v).over(w_all)
+        )
+        # var_pop from exact moments: E[x²] − μ² (clamped: the
+        # subtraction can go -1e-18 on constant series)
+        varp_win = F.greatest(
+            F.sum(dq(v * v)).over(w_all).cast("double") / Q
+            / F.count(v).over(w_all)
+            - mean_win * mean_win,
+            F.lit(0.0),
+        )
+    else:
+        mean_win = F.avg(v).over(w_all)
+        varp_win = F.var_pop(v).over(w_all)
+
     d = (
         df.withColumn("__lag", F.lag(v).over(w))
         .withColumn("__chg", F.abs(v - F.col("__lag")))
-        .withColumn("__mean", F.avg(v).over(w_all))
-        .withColumn("__varp", F.var_pop(v).over(w_all))
+        .withColumn("__mean", mean_win)
+        .withColumn("__varp", varp_win)
         .withColumn(
             "__peak",
             F.coalesce((v > F.lag(v).over(w)) & (v > F.lead(v).over(w)), F.lit(False)),
@@ -150,15 +198,44 @@ def ts_features(
             ).otherwise(F.lit(0)),
         )
     )
+    chg = F.col("__chg")
+    ac_term = (v - F.col("__mean")) * (F.col("__lag") - F.col("__mean"))
+    if exact_sums:
+        mean_expr = dsum(v) / F.count(v)
+        sum_expr = dsum(v)
+        energy_expr = dsum(v * v)
+        mac_expr = dsum(chg) / F.count(chg)
+        ac_num = dsum(ac_term)
+        cid_expr = F.sqrt(dsum(chg * chg))
+        # sample std from the exact moments: (Σx² − (Σx)²/n)/(n−1),
+        # clamped (the subtraction can go −1e−18 on constant series)
+        std_expr = F.when(
+            F.count(v) > 1,
+            F.sqrt(
+                F.greatest(
+                    (energy_expr - sum_expr * sum_expr / F.count(v))
+                    / (F.count(v) - 1),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    else:
+        mean_expr = F.avg(v)
+        sum_expr = F.sum(v)
+        energy_expr = F.sum(v * v)
+        mac_expr = F.avg(chg)
+        ac_num = F.sum(ac_term)
+        cid_expr = F.sqrt(F.sum(chg * chg))
+        std_expr = F.stddev_samp(v)
     return d.groupBy(entity_col).agg(
         F.count(v).alias(f"{prefix}_length"),
-        F.avg(v).alias(f"{prefix}_mean"),
-        F.stddev_samp(v).alias(f"{prefix}_std"),
+        mean_expr.alias(f"{prefix}_mean"),
+        std_expr.alias(f"{prefix}_std"),
         F.min(v).alias(f"{prefix}_min"),
         F.max(v).alias(f"{prefix}_max"),
-        F.sum(v).alias(f"{prefix}_sum"),
-        F.sum(v * v).alias(f"{prefix}_abs_energy"),
-        F.avg("__chg").alias(f"{prefix}_mean_abs_change"),
+        sum_expr.alias(f"{prefix}_sum"),
+        energy_expr.alias(f"{prefix}_abs_energy"),
+        mac_expr.alias(f"{prefix}_mean_abs_change"),
         F.min_by(v, F.col(time_col)).alias(f"{prefix}_first"),
         F.max_by(v, F.col(time_col)).alias(f"{prefix}_last"),
         F.sum(F.col("__peak").cast("long")).alias(f"{prefix}_n_peaks"),
@@ -169,8 +246,7 @@ def ts_features(
         # some engines — the guard makes the semantics explicit)
         F.when(
             (F.count(v) > 1) & (F.max("__varp") > 0),
-            F.sum((v - F.col("__mean")) * (F.col("__lag") - F.col("__mean")))
-            / ((F.count(v) - 1) * F.max("__varp")),
+            ac_num / ((F.count(v) - 1) * F.max("__varp")),
         ).alias(f"{prefix}_autocorr1"),
-        F.sqrt(F.sum(F.col("__chg") * F.col("__chg"))).alias(f"{prefix}_cid_ce"),
+        cid_expr.alias(f"{prefix}_cid_ce"),
     )

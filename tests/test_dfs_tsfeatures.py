@@ -202,3 +202,25 @@ def test_iterative_imputer_round_robin_sweeps_refine(spark):
     err1 = np.abs(one["imp_0"].to_numpy()[mask] - truth[mask]).mean()
     err3 = np.abs(three["imp_0"].to_numpy()[mask] - truth[mask]).mean()
     assert err3 <= err1
+
+
+def test_ts_features_exact_sums_partition_invariant(spark):
+    """exact_sums: microunit integer accumulation makes every float
+    feature BIT-identical across partitionings (float sums are only
+    approximately equal), at a quantization of 5e-7."""
+    rows = [("u%d" % (i % 7), float(i), float((i * 37 % 100) + 0.01 * (i % 13)))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "e string, ts double, v double")
+    a = (ts_features(df.repartition(1), "e", "ts", "v", exact_sums=True)
+         .orderBy("e").toPandas())
+    b = (ts_features(df.repartition(17), "e", "ts", "v", exact_sums=True)
+         .orderBy("e").toPandas())
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (av == bv).all(), c  # bitwise, not allclose
+    # and the values agree with the float path to quantization error
+    f = (ts_features(df, "e", "ts", "v").orderBy("e").toPandas())
+    assert np.allclose(a["ts_mean"], f["ts_mean"], atol=1e-6)
+    assert np.allclose(a["ts_std"], f["ts_std"], atol=1e-5, equal_nan=True)
+    assert np.allclose(a["ts_autocorr1"], f["ts_autocorr1"], atol=1e-4,
+                       equal_nan=True)
