@@ -317,3 +317,27 @@ def test_incremental_minhash_joins_are_equi_key(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_grouped_apply_query_single_exchange(spark):
+    """E3 driver query: applyInPandas = ONE exchange on the group key +
+    one grouped-map Arrow node; anything more is a regression."""
+    import __spark_entry__ as entry
+
+    df = entry.grouped_apply_normalize(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_ts_exact_sums_stays_one_exchange_jvm_only(spark):
+    """exact_sums microunit accumulation must not add exchanges or drop
+    out of the JVM: one hash exchange (windows + agg reuse it), zero
+    Python nodes."""
+    import __spark_entry__ as entry
+
+    df = entry.ts_features_user(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
