@@ -27,12 +27,29 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def _sum_exact(col):
+    """Order-independent, engine-exact sum: microunit quantization
+    (floor(x·10⁶+0.5)) summed as integral decimal(38,0) — see the
+    ``exact_sums`` discussion on :func:`ts_features`. |x| < 9·10⁹."""
+    return F.sum(F.floor(col * 1e6 + F.lit(0.5)).cast("decimal(38,0)")).cast(
+        "double"
+    ) / 1e6
+
+
+def _mean_exact(col):
+    return _sum_exact(col) / F.count(col)
+
+
 _PRIMITIVES = {
     "sum": F.sum,
     "mean": F.avg,
     "min": F.min,
     "max": F.max,
     "std": F.stddev_samp,
+    # engine-portable exact variants (bit-identical across
+    # partitionings and engines; 5e-7 quantization)
+    "sum_exact": _sum_exact,
+    "mean_exact": _mean_exact,
 }
 
 

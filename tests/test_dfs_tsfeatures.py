@@ -224,3 +224,22 @@ def test_ts_features_exact_sums_partition_invariant(spark):
     assert np.allclose(a["ts_std"], f["ts_std"], atol=1e-5, equal_nan=True)
     assert np.allclose(a["ts_autocorr1"], f["ts_autocorr1"], atol=1e-4,
                        equal_nan=True)
+
+
+def test_dfs_exact_primitives_partition_invariant(spark):
+    child = spark.createDataFrame(
+        [(i % 5, 0.01 * ((i * 7919) % 1000)) for i in range(3000)],
+        "k long, x double",
+    )
+    a = (DFSAggFeatures(child.repartition(1), "k", ["x"],
+                        agg_primitives=("sum_exact", "mean_exact"))
+         .features().orderBy("k").toPandas())
+    b = (DFSAggFeatures(child.repartition(13), "k", ["x"],
+                        agg_primitives=("sum_exact", "mean_exact"))
+         .features().orderBy("k").toPandas())
+    for c in ("dfs_sum_exact_x", "dfs_mean_exact_x"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c  # bitwise
+    # agrees with the float primitive to quantization error
+    f = (DFSAggFeatures(child, "k", ["x"], agg_primitives=("sum", "mean"))
+         .features().orderBy("k").toPandas())
+    assert np.allclose(a["dfs_sum_exact_x"], f["dfs_sum_x"], atol=1e-3)
