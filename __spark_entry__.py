@@ -1030,8 +1030,11 @@ def dfs_customer_orders(spark, sf_dir):
     # order-dependent and land exactly on .xx5 rounding boundaries
     # (observed: one nation's mean flipped at sf0.01 vs the oracle);
     # decimal sums are associative, so any partitioning/engine agrees.
-    # Means divide the exact sums by the FULL customer count (cast to
-    # double first — decimal division scale rules differ per engine).
+    # The per-capita columns divide the exact sums by the FULL customer
+    # count — zero-order customers count in the denominator — and are
+    # NAMED percap_* to say so (ADVICE r4: the old mean_cust_* names
+    # read as avg-over-customers-with-orders). Cast to double before
+    # dividing: decimal division scale rules differ per engine.
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
@@ -1050,9 +1053,9 @@ def dfs_customer_orders(spark, sf_dir):
     return lvl2.select(
         "c_nationkey",
         F.round(total, 2).alias("nation_order_total"),
-        F.round(total / cnt, 2).alias("mean_cust_order_total"),
+        F.round(total / cnt, 2).alias("percap_order_total"),
         F.round("cust_sum_ord_count", 4).alias("nation_order_cnt"),
-        F.round(F.col("cust_sum_ord_count") / cnt, 4).alias("mean_cust_order_cnt"),
+        F.round(F.col("cust_sum_ord_count") / cnt, 4).alias("percap_order_cnt"),
         cnt.alias("n_customers"),
     )
 
@@ -1240,11 +1243,13 @@ def curation_pipeline(spark, sf_dir):
     from ballet_spark.operators.dedup import exact_dedup
     from ballet_spark.plans.splits import hash_split
 
-    # Gate on quality rounded to 6dp so the boundary decision is
-    # bit-identical to the oracle's round(quality, 6) >= 0.35 — raw
-    # float gates can disagree with the replayed SQL at the threshold.
+    # Gate on quality rounded to 6dp via _sround (NOT F.round) so the
+    # boundary decision is bit-identical to the oracle, which spells
+    # out the same sign/floor formula — engine round() algorithms can
+    # legitimately disagree on the SAME double at .xxx5 boundaries
+    # (see _sround's docstring; ADVICE r4).
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "quality", F.round(quality_score(F.col("text")), 6)
+        "quality", _sround(quality_score(F.col("text")), 6)
     )
     gated = docs.filter(F.col("quality") >= 0.35)
     keep = exact_dedup(gated, "doc_id", "text").select("doc_id")
@@ -1252,7 +1257,7 @@ def curation_pipeline(spark, sf_dir):
     split = hash_split(canon, "doc_id")
     return split.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        _sround(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 
@@ -2161,10 +2166,10 @@ def _generated_oracles() -> dict[str, str]:
         SELECT c_nationkey,
                round(sum(osum)::DOUBLE, 2) AS nation_order_total,
                round(sum(osum)::DOUBLE / count(*), 2)
-                   AS mean_cust_order_total,
+                   AS percap_order_total,
                sum(ocnt)::BIGINT AS nation_order_cnt,
                round(sum(ocnt)::BIGINT / count(*)::DOUBLE, 4)
-                   AS mean_cust_order_cnt,
+                   AS percap_order_cnt,
                count(*) AS n_customers
         FROM lvl1 GROUP BY c_nationkey
     """
@@ -2401,7 +2406,12 @@ def _generated_oracles() -> dict[str, str]:
                        + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                            / length(text)::DOUBLE, 1.0)) AS quality
             FROM documents),
-        gated AS (SELECT * FROM q WHERE round(quality, 6) >= 0.35),
+        rq AS (
+            SELECT doc_id, lang, text,
+                   sign(quality) * floor(abs(quality) * 1e6 + 0.5) / 1e6
+                       AS quality
+            FROM q),
+        gated AS (SELECT * FROM rq WHERE quality >= 0.35),
         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
         canon AS (SELECT gated.* FROM gated SEMI JOIN keep USING (doc_id)),
         split AS (
@@ -2413,7 +2423,8 @@ def _generated_oracles() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM canon)
         SELECT lang, split, count(*) AS n_docs,
-               round(avg(round(quality, 6)), 4) AS avg_quality
+               sign(avg(quality)) * floor(abs(avg(quality)) * 1e4 + 0.5) / 1e4
+                   AS avg_quality
         FROM split GROUP BY lang, split
     """
 

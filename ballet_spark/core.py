@@ -28,10 +28,17 @@ and a list → sequential composition.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
+import types
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
+
+try:
+    import numpy as np
+except ImportError:  # pragma: no cover
+    np = None
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -90,6 +97,10 @@ def _code_key(code) -> str:
 
 
 _DEFAULT_REPR_RE = re.compile(r"<[\w.]+ object at 0x[0-9a-fA-F]+>")
+# Any hex address in a fallback repr (bound methods, functools.partial,
+# custom __repr__s that embed id(self)) is per-process noise: mask the
+# digits, keep the surrounding structure as distinguishing info.
+_HEX_ADDR_RE = re.compile(r"0x[0-9a-fA-F]+")
 
 
 def _value_key(v, depth: int = 0) -> str:
@@ -108,6 +119,30 @@ def _value_key(v, depth: int = 0) -> str:
         return "<deep>"
     if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
         return repr(v)
+    if isinstance(v, functools.partial):
+        # partial's repr embeds the wrapped function's address; recurse
+        # through func/args/keywords instead so the key is content-based
+        return (
+            "p("
+            + _value_key(v.func, depth + 1)
+            + ";a:" + ",".join(_value_key(a, depth + 1) for a in v.args)
+            + ";k:" + ",".join(
+                f"{k}={_value_key(v.keywords[k], depth + 1)}"
+                for k in sorted(v.keywords)
+            )
+            + ")"
+        )
+    if np is not None and isinstance(v, np.ndarray):
+        # repr truncates large arrays ('...') — distinct arrays would
+        # collide; hash shape+dtype+contents instead
+        try:
+            body = np.ascontiguousarray(v).tobytes()
+        except (TypeError, ValueError):  # object dtype etc.
+            return "nd(" + _value_key(v.tolist(), depth + 1) + ")"
+        return (
+            f"nd[{v.shape},{v.dtype}]:"
+            + hashlib.md5(body).hexdigest()[:16]
+        )
     if callable(v) and hasattr(v, "__code__"):
         return "fn:" + _callable_key(v, depth + 1)
     if hasattr(v, "co_code"):
@@ -138,7 +173,9 @@ def _value_key(v, depth: int = 0) -> str:
         # default object repr embeds a memory address — opaque but
         # stable beats unique-per-process
         return f"o[{cls}]<opaque>"
-    return f"o[{cls}]{r}"
+    # custom reprs may still embed id(self) (or a wrapped function's
+    # address) — mask the hex digits, keep the structure
+    return f"o[{cls}]{_HEX_ADDR_RE.sub('0x', r)}"
 
 
 def _callable_key(fn: Callable, depth: int = 0) -> str:
@@ -147,6 +184,10 @@ def _callable_key(fn: Callable, depth: int = 0) -> str:
     closures built from the same code with different captured
     parameters hash differently (a resumed materialize() must NOT
     treat a re-parameterized feature as already complete)."""
+    if isinstance(fn, functools.partial):
+        # no __code__/__name__ of its own: key on func+bound args, else
+        # every partial collapses to one identity
+        return "partial|" + _value_key(fn, depth)
     name = getattr(fn, "__name__", "selector")
     ident = f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', name)}"
     code = getattr(fn, "__code__", None)
@@ -169,6 +210,11 @@ def _callable_key(fn: Callable, depth: int = 0) -> str:
             except ValueError:  # unfilled cell (recursive def mid-construction)
                 cells.append("<empty>")
         ident += "|c:" + ",".join(cells)
+    bound = getattr(fn, "__self__", None)
+    if bound is not None and not isinstance(bound, types.ModuleType):
+        # bound method: two instances' .f share code+closure; the
+        # receiver's state must fold in or they hash identically
+        ident += "|self:" + _value_key(bound, depth + 1)
     return ident
 
 

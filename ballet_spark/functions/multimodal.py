@@ -319,6 +319,13 @@ def decode_wav(data: bytes):
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(data):
+            # the size field is untrusted input: a value past the
+            # buffer must fail loudly, not silently truncate the body
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes "
+                f"but only {len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -327,6 +334,8 @@ def decode_wav(data: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"malformed WAV: fmt chunk too short ({len(fmt)} bytes)")
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
@@ -339,6 +348,10 @@ def decode_wav(data: bytes):
             "library; only PCM decodes in-container"
         )
     if bits == 16:
+        if len(raw) % 2:
+            raise ValueError(
+                "truncated WAV: 16-bit data chunk has odd byte length"
+            )
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

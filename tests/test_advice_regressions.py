@@ -307,3 +307,69 @@ def test_head_keys_min_count_collect_is_capped(spark, monkeypatch):
         keys2 = skew.head_keys(df, key="url", min_count=2)
     assert keys2 == []
     assert not any("head_keys" in str(x.message) for x in w2)
+
+
+def test_hash_callable_masks_addresses_and_hashes_array_contents():
+    """ADVICE r4 (medium): partials, bound methods, and custom reprs
+    embed per-process memory addresses; large ndarrays repr-truncate.
+    Neither may reach the callable hash."""
+    import functools
+    import re
+
+    from ballet_spark.core import _callable_key, _hash_callable, _value_key
+
+    addr = re.compile(r"0x[0-9a-fA-F]{4,}")
+
+    def base(x, y):
+        return x + y
+
+    p1 = functools.partial(base, 2)
+    p2 = functools.partial(base, 3)
+    pk = functools.partial(base, y=2)
+    # distinct bound args hash apart; positional vs keyword binding too
+    assert _hash_callable(p1) != _hash_callable(p2)
+    assert _hash_callable(p1) != _hash_callable(pk)
+    # and no per-process address survives into the key
+    assert not addr.search(_callable_key(p1))
+    assert not addr.search(_value_key(p1))
+
+    class Holder:
+        def __init__(self, th):
+            self.th = th
+
+        def sel(self, df):
+            return self.th
+
+    a, b = Holder(1), Holder(2)
+    assert _hash_callable(a.sel) != _hash_callable(b.sel)
+    assert _hash_callable(a.sel) == _hash_callable(Holder(1).sel)
+    assert not addr.search(_callable_key(a.sel))
+
+    # ndarray: repr of large arrays truncates with '...' — contents
+    # must be hashed, not the repr
+    big1 = np.zeros(10_000)
+    big2 = np.zeros(10_000)
+    big2[7777] = 1.0  # invisible in the truncated repr
+    assert _value_key(big1) != _value_key(big2)
+    assert _value_key(big1) == _value_key(np.zeros(10_000))
+
+    def mk(arr):
+        def f(df):
+            return arr
+
+        return f
+
+    assert _hash_callable(mk(big1)) != _hash_callable(mk(big2))
+
+    # custom repr embedding id(self): masked, so equal-state objects
+    # key identically across instances
+    class Repry:
+        __slots__ = ()
+
+        def __repr__(self):
+            return f"<Repry at {hex(id(self))}>"
+
+    assert _value_key(Repry()) == _value_key(Repry())
+    assert not addr.search(_value_key(Repry()))
+    # literal hex strings are values, not addresses — never masked
+    assert "0x1f" in _value_key("0x1f")

@@ -355,3 +355,37 @@ def test_decode_wav_zero_channels_rejected():
 
     with _pytest.raises(ValueError, match="zero channels"):
         decode_wav(bytes(bad))
+
+
+def test_decode_wav_rejects_truncated_chunks():
+    """ADVICE r4: untrusted RIFF size fields must fail with a clear
+    'truncated WAV' error, not an opaque np.frombuffer abort."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ballet_spark.functions.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(16), 8000)
+
+    # data-chunk size field extends past the buffer
+    over = bytearray(good)
+    data_pos = good.index(b"data")
+    over[data_pos + 4 : data_pos + 8] = (10**6).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(over))
+
+    # 16-bit data chunk trimmed to an odd byte count (size field kept
+    # consistent so the chunk walk succeeds)
+    odd = bytearray(good[:-1])
+    n = len(good) - data_pos - 8 - 1
+    odd[data_pos + 4 : data_pos + 8] = n.to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="odd byte length"):
+        decode_wav(bytes(odd))
+
+    # consistent chunk walk, but fmt chunk shorter than the 16-byte
+    # PCM header
+    body = b"fmt " + (8).to_bytes(4, "little") + b"\x01\x00\x01\x00@\x1f\x00\x00"
+    body += b"data" + (0).to_bytes(4, "little")
+    short = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    with _pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(short)
