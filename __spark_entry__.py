@@ -12,6 +12,7 @@ epoch-second bigints to sidestep timezone-representation differences.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1070,7 +1071,9 @@ def ts_features_user(spark, sf_dir):
     from ballet_spark.operators.dfs import ts_features
 
     ev = _t(spark, sf_dir, "events")
-    out = ts_features(ev, "user_id", "ts", "value", exact_sums=True)
+    out = ts_features(
+        ev, "user_id", "ts", "value", exact_sums=True, fft_k=(0, 1, 2, 3)
+    )
     # _sround, not F.round: the exact sums make the doubles identical
     # across engines, and _sround makes the ROUNDING identical too
     return out.select(
@@ -1092,6 +1095,11 @@ def ts_features_user(spark, sf_dir):
         .alias("ts_longest_strike_above_mean"),
         _sround(F.col("ts_autocorr1"), 4).alias("ts_autocorr1"),
         _sround(F.col("ts_cid_ce"), 4).alias("ts_cid_ce"),
+        *[
+            _sround(F.col(f"ts_fft{k}_{a}"), 4).alias(f"ts_fft{k}_{a}")
+            for k in (0, 1, 2, 3)
+            for a in ("re", "im", "abs")
+        ],
     )
 
 
@@ -2210,6 +2218,24 @@ def _generated_oracles() -> dict[str, str]:
         f" / ((count(value) - 1) * max(varp)) END"
     )
     CID = f"sqrt({qsum('chg * chg')})"
+    # fft_coefficient: angle = (2πk)·t/n with 2πk folded to ONE double
+    # literal and the same association order as the Spark side; cos/sin
+    # outputs (the only non-IEEE-exact step) snap to the 1e-6 grid
+    # before the multiply, then microunit-decimal sums — identical
+    # doubles end-to-end (operators/dfs.py ts_features fft_k docs)
+    FFT = {}
+    for _k in (0, 1, 2, 3):
+        _ck = repr(2.0 * math.pi * float(_k))
+        _theta = f"({_ck} * (rn - 1)::DOUBLE / nn::DOUBLE)"
+        _qc = f"(floor(cos({_theta}) * 1000000.0 + 0.5) / 1000000.0)"
+        _qs = f"(floor(sin({_theta}) * 1000000.0 + 0.5) / 1000000.0)"
+        _re = qsum(f"value * {_qc}")
+        _im = qsum(f"(-value) * {_qs}")
+        FFT[_k] = (
+            _re,
+            _im,
+            f"sqrt({_re} * {_re} + {_im} * {_im})",
+        )
     QW1 = (
         "(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
         " OVER pw)::DOUBLE / 1000000.0 / count(value) OVER pw"
@@ -2229,7 +2255,8 @@ def _generated_oracles() -> dict[str, str]:
                           {QW1} AS mu,
                           greatest({QW2} - ({QW1}) * ({QW1}), 0.0)
                               AS varp,
-                          row_number() OVER w AS rn
+                          row_number() OVER w AS rn,
+                          count(*) OVER pw AS nn
                    FROM events
                    WINDOW w AS (PARTITION BY user_id ORDER BY ts),
                           pw AS (PARTITION BY user_id)),
@@ -2259,7 +2286,19 @@ def _generated_oracles() -> dict[str, str]:
                         ELSE 0 END)::BIGINT
                    AS ts_longest_strike_above_mean,
                {sr(AC, 4)} AS ts_autocorr1,
-               {sr(CID, 4)} AS ts_cid_ce
+               {sr(CID, 4)} AS ts_cid_ce,
+               {sr(FFT[0][0], 4)} AS ts_fft0_re,
+               {sr(FFT[0][1], 4)} AS ts_fft0_im,
+               {sr(FFT[0][2], 4)} AS ts_fft0_abs,
+               {sr(FFT[1][0], 4)} AS ts_fft1_re,
+               {sr(FFT[1][1], 4)} AS ts_fft1_im,
+               {sr(FFT[1][2], 4)} AS ts_fft1_abs,
+               {sr(FFT[2][0], 4)} AS ts_fft2_re,
+               {sr(FFT[2][1], 4)} AS ts_fft2_im,
+               {sr(FFT[2][2], 4)} AS ts_fft2_abs,
+               {sr(FFT[3][0], 4)} AS ts_fft3_re,
+               {sr(FFT[3][1], 4)} AS ts_fft3_im,
+               {sr(FFT[3][2], 4)} AS ts_fft3_abs
         FROM s GROUP BY user_id
     """
     out["iterative_impute_value"] = """

@@ -22,6 +22,7 @@ Spark-first re-expression:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -117,6 +118,7 @@ def ts_features(
     value_col: str,
     prefix: str = "ts",
     exact_sums: bool = False,
+    fft_k: Sequence[int] = (),
 ) -> DataFrame:
     """tsfresh-FeatureAugmenter-style fixed feature vector per entity:
     length, mean, std, min, max, sum, abs_energy (Σx²), mean_abs_change
@@ -155,7 +157,21 @@ def ts_features(
     replayable. Cost: ~2× on the agg (still one shuffle); terms must
     satisfy |x| < 9·10^9 (so x·10^6 stays integer-exact in a double);
     values are quantized to 5·10^-7, far below the per-feature
-    rounding any consumer applies."""
+    rounding any consumer applies.
+
+    ``fft_k=(0, 1, 2, 3)`` adds tsfresh ``fft_coefficient``
+    (attr real/imag/abs) per requested k: X_k = Σ_t x_t·e^(−2πikt/n)
+    with t the 0-based event-time rank and n the series length —
+    three more columns per k (``{prefix}_fft{k}_re/_im/_abs``) in the
+    SAME single aggregation (n comes from a count over the existing
+    entity window, so the one-Exchange plan shape is preserved).
+    Engine portability: IEEE basic ops (+,−,×,÷,√) are correctly
+    rounded — identical on identical doubles everywhere — but
+    transcendentals are not, so cos/sin are quantized to 10^-6 via
+    ``floor(c·10^6 + 0.5)/10^6`` before the multiply; a cross-engine
+    flip then needs a 1-ulp cos disagreement within 10^-10 of a
+    quantization boundary (~10^-10 per term) instead of a raw
+    last-digit coin flip per rounded output."""
     w = Window.partitionBy(entity_col).orderBy(time_col)
     w_all = Window.partitionBy(entity_col)
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -215,6 +231,10 @@ def ts_features(
             ).otherwise(F.lit(0)),
         )
     )
+    if fft_k:
+        # series length for the DFT angle — same w_all spec as the
+        # mean/var windows, so no new Exchange
+        d = d.withColumn("__n", F.count(F.lit(1)).over(w_all))
     chg = F.col("__chg")
     ac_term = (v - F.col("__mean")) * (F.col("__lag") - F.col("__mean"))
     if exact_sums:
@@ -244,6 +264,36 @@ def ts_features(
         ac_num = F.sum(ac_term)
         cid_expr = F.sqrt(F.sum(chg * chg))
         std_expr = F.stddev_samp(v)
+    fft_aggs = []
+    for k in fft_k:
+        # angle written as (2πk)·t / n with 2πk folded to ONE Python
+        # double and the same association order in the oracle SQL:
+        # multiply and divide are IEEE-exact, so both engines see the
+        # identical angle double
+        ck = 2.0 * math.pi * float(k)
+        theta = F.lit(ck) * (F.col("__rn") - 1).cast("double") / F.col(
+            "__n"
+        ).cast("double")
+
+        def q6(c):
+            # transcendental outputs are the one implementation-defined
+            # step — snap to the 1e-6 grid before any arithmetic
+            return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+        re_term = v * q6(F.cos(theta))
+        im_term = -v * q6(F.sin(theta))
+        if exact_sums:
+            re_expr, im_expr = dsum(re_term), dsum(im_term)
+        else:
+            re_expr, im_expr = F.sum(re_term), F.sum(im_term)
+        fft_aggs += [
+            re_expr.alias(f"{prefix}_fft{k}_re"),
+            im_expr.alias(f"{prefix}_fft{k}_im"),
+            # sqrt/× are exact; Catalyst dedups the repeated aggregates
+            F.sqrt(re_expr * re_expr + im_expr * im_expr).alias(
+                f"{prefix}_fft{k}_abs"
+            ),
+        ]
     return d.groupBy(entity_col).agg(
         F.count(v).alias(f"{prefix}_length"),
         mean_expr.alias(f"{prefix}_mean"),
@@ -266,4 +316,5 @@ def ts_features(
             ac_num / ((F.count(v) - 1) * F.max("__varp")),
         ).alias(f"{prefix}_autocorr1"),
         cid_expr.alias(f"{prefix}_cid_ce"),
+        *fft_aggs,
     )

@@ -243,3 +243,44 @@ def test_dfs_exact_primitives_partition_invariant(spark):
     f = (DFSAggFeatures(child, "k", ["x"], agg_primitives=("sum", "mean"))
          .features().orderBy("k").toPandas())
     assert np.allclose(a["dfs_sum_exact_x"], f["dfs_sum_x"], atol=1e-3)
+
+
+def test_ts_fft_coefficients_match_numpy(spark):
+    """fft_k features vs np.fft.fft on the same per-entity series —
+    re/im/abs for k in 0..3, variable series lengths, plus the
+    one-Exchange plan shape with fft_k on."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for e in range(6):
+        n = int(rng.integers(3, 40))
+        for t in range(n):
+            rows.append((f"e{e}", t, float(np.round(rng.normal(), 3))))
+    pdf = pd.DataFrame(rows, columns=["ent", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    out = (
+        ts_features(df, "ent", "ts", "value", fft_k=(0, 1, 2, 3))
+        .toPandas()
+        .set_index("ent")
+    )
+    for e, g in pdf.groupby("ent"):
+        x = g.sort_values("ts")["value"].to_numpy()
+        X = np.fft.fft(x)
+        for k in (0, 1, 2, 3):
+            got = out.loc[
+                e, [f"ts_fft{k}_re", f"ts_fft{k}_im", f"ts_fft{k}_abs"]
+            ].to_numpy(dtype=float)
+            exp = np.array([X[k].real, X[k].imag, abs(X[k])])
+            # 1e-6 cos/sin quantization × |x| sums ⇒ small abs tolerance
+            assert np.allclose(got, exp, atol=2e-4), (e, k, got, exp)
+
+    # exact_sums + fft keeps the single-Exchange single-Sort plan
+    plan = (
+        ts_features(df, "ent", "ts", "value", exact_sums=True, fft_k=(0, 1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
