@@ -1341,6 +1341,39 @@ def repetition_filter_docs(spark, sf_dir):
     )
 
 
+def salted_running_stats(spark, sf_dir):
+    """Hot-entity running aggregates via the two-phase prefix scan
+    (plans/skew.py salted_running_agg): head users take
+    chunk-local windows + a broadcast carry-in merge, the tail a plain
+    window — semantics identical to one RANGE window, so the oracle is
+    the plain SQL form. Values quantized to exact integral microunit
+    decimals first (floor(v·10^6 + 0.5) as decimal(38,0)): decimal
+    addition is associative, so the head path's regrouped sums match
+    the oracle's left-fold bit-for-bit (float sums would not)."""
+    from ballet_spark.plans.skew import salted_running_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("v_q"),
+    )
+    out = salted_running_agg(
+        ev, "user_id", "ts", "v_q",
+        aggs=("sum", "count", "min", "max"),
+        top_k=5, chunk_seconds=7 * 86_400,
+    )
+    return out.select(
+        "event_id",
+        _sround(F.col("run_sum").cast("double") / 1e6, 4).alias("run_sum"),
+        F.col("run_count").cast("bigint").alias("run_count"),
+        _sround(F.col("run_min").cast("double") / 1e6, 4).alias("run_min"),
+        _sround(F.col("run_max").cast("double") / 1e6, 4).alias("run_max"),
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1460,7 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "gopher_quality_filter": gopher_quality_filter,
         "repetition_filter_docs": repetition_filter_docs,
-        # --- (2) round-3 additions ---
+        # --- (2) round-3/4 additions ---
+        "salted_running_stats": salted_running_stats,
         "grouped_apply_normalize": grouped_apply_normalize,
         "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
         # --- (3) round-1 representative core ---
@@ -2301,6 +2335,21 @@ def _generated_oracles() -> dict[str, str]:
                {sr(FFT[3][2], 4)} AS ts_fft3_abs
         FROM s GROUP BY user_id
     """
+    out["salted_running_stats"] = f"""
+        WITH q AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 1000000.0 + 0.5)
+                               AS DECIMAL(38,0)) AS v_q
+                   FROM events)
+        SELECT event_id,
+               {sr("(sum(v_q) OVER w)::DOUBLE / 1000000.0", 4)} AS run_sum,
+               (count(v_q) OVER w)::BIGINT AS run_count,
+               {sr("(min(v_q) OVER w)::DOUBLE / 1000000.0", 4)} AS run_min,
+               {sr("(max(v_q) OVER w)::DOUBLE / 1000000.0", 4)} AS run_max
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
     out["iterative_impute_value"] = """
         WITH base AS (
             SELECT event_id, user_id::DOUBLE AS uid, epoch(ts) AS t,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ballet_spark.operators.asof import asof_join, asof_join_broadcast
@@ -158,6 +158,141 @@ def salted_agg(
         F.max("mx").alias("max"),
         (F.sum("s") / F.sum("c")).alias("mean"),
     )
+
+
+_RUN_PARTIALS = {
+    "sum": lambda c: F.sum(c),
+    "count": lambda c: F.count(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+# prefix-combine of per-chunk PARTIALS: counts combine by SUM
+_RUN_COMBINE = {
+    "sum": lambda c: F.sum(c),
+    "count": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+_RUN_MERGE = {
+    # merge(carry-from-prior-chunks, local-running) — carry is NULL for
+    # an entity's first chunk; local sum is NULL until a non-NULL value
+    "sum": lambda carry, local: (
+        F.when(carry.isNull(), local)
+        .when(local.isNull(), carry)
+        .otherwise(carry + local)
+    ),
+    "count": lambda carry, local: F.coalesce(carry, F.lit(0)) + local,
+    "min": lambda carry, local: F.least(carry, local),
+    "max": lambda carry, local: F.greatest(carry, local),
+}
+
+
+def salted_running_agg(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    aggs: Sequence[str] = ("sum", "count", "min", "max"),
+    head: Sequence | None = None,
+    top_k: int = 50,
+    chunk_seconds: int = 86_400,
+    out_prefix: str = "run",
+) -> DataFrame:
+    """Running (cumulative) aggregates with a two-phase plan for hot
+    entities — the pure-window skew gap (SURVEY §4 custom item 3): a
+    plain ``sum() OVER (PARTITION BY url ORDER BY ts)`` puts a hot
+    domain's entire history in ONE task; at 10^12 docs a url with 10^8
+    snapshots serializes an executor for hours.
+
+    Plan: tail keys take the ordinary single window. ``head`` keys
+    (explicit, or the top-``top_k`` by count via :func:`head_keys`)
+    take a parallel prefix scan:
+
+    1. **chunk** — rows bucket into time-contiguous salt chunks
+       ``floor(epoch(ts) / chunk_seconds)``: deterministic, monotone in
+       event time (a retry lands in the same chunk), no pre-pass;
+    2. **local** — running aggregates within ``(key, chunk)`` windows,
+       so the per-task frame is bounded by one chunk's rows;
+    3. **carry** — per-chunk totals (one small agg: |head|·|chunks|
+       rows) get an exclusive prefix scan over chunks per key, then
+       broadcast-join back on ``(key, chunk)``;
+    4. **merge** — running = carry ⊕ local per aggregate.
+
+    Semantics are the RANGE frame (``ORDER BY ts RANGE UNBOUNDED
+    PRECEDING``): rows with tied timestamps all aggregate together, so
+    the result is deterministic and the head path equals the tail path
+    row-for-row (ties share a chunk by construction). ``mean`` derives
+    as sum/count. NULL keys and NULL times route to the tail path.
+
+    Exactness note: float ``sum`` regroups terms ((chunk₁+…)+local vs
+    one left fold), so head-path float sums can differ from a plain
+    window by ulps — pass a decimal ``value_col`` when bit-stable
+    totals matter (decimal addition is associative; the driver query
+    does this). min/max/count are regroup-proof."""
+    bad = [a for a in aggs if a not in _RUN_PARTIALS]
+    if bad:
+        raise ValueError(f"unsupported running aggs {bad}: {sorted(_RUN_PARTIALS)}")
+    if chunk_seconds < 1:
+        raise ValueError("chunk_seconds must be >= 1")
+    if head is None:
+        head = head_keys(df, key=key, top_k=top_k)
+    epoch = F.col(time_col).cast("timestamp").cast("double")
+    v = F.col(value_col)
+
+    def running_cols(w):
+        return [
+            _RUN_PARTIALS[a](v).over(w).alias(f"{out_prefix}_{a}")
+            for a in aggs
+        ]
+
+    plain_w = Window.partitionBy(key).orderBy(epoch).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    if not head:
+        return df.select("*", *running_cols(plain_w))
+
+    # NULL keys → tail (their own window partition, as in the plain
+    # plan). NULL event times STAY on their key's path: they become the
+    # NULL chunk, which sorts first — its totals fold into every real
+    # chunk's carry and its own rows merge carry-free — exactly the
+    # RANGE-frame nulls-first semantics of the plain window.
+    is_head = F.coalesce(F.col(key).isin(list(head)), F.lit(False))
+    tail_out = df.filter(~is_head).select("*", *running_cols(plain_w))
+
+    hot = df.filter(is_head).withColumn(
+        "__chunk", F.floor(epoch / F.lit(float(chunk_seconds)))
+    )
+    local_w = Window.partitionBy(key, "__chunk").orderBy(epoch).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = hot.select("*", *running_cols(local_w))
+
+    totals = hot.groupBy(key, "__chunk").agg(
+        *[_RUN_PARTIALS[a](v).alias(f"__t_{a}") for a in aggs]
+    )
+    # exclusive prefix: everything from strictly-earlier chunks
+    carry_w = Window.partitionBy(key).orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = totals.select(
+        key,
+        "__chunk",
+        *[
+            _RUN_COMBINE[a](F.col(f"__t_{a}")).over(carry_w).alias(f"__c_{a}")
+            for a in aggs
+        ],
+    )
+    merged = local.join(F.broadcast(carry), [key, "__chunk"], "left")
+    head_out = merged.select(
+        *[c for c in df.columns],
+        *[
+            _RUN_MERGE[a](
+                F.col(f"__c_{a}"), F.col(f"{out_prefix}_{a}")
+            ).alias(f"{out_prefix}_{a}")
+            for a in aggs
+        ],
+    )
+    return tail_out.unionByName(head_out.select(*tail_out.columns))
 
 
 def skew_report(df: DataFrame, key: str = "url", top_k: int = 10) -> DataFrame:
