@@ -1341,6 +1341,59 @@ def repetition_filter_docs(spark, sf_dir):
     )
 
 
+def _gfssf_base_cols():
+    """Shared feature/target definitions for the GFSSF driver query —
+    integer-exact expressions so Spark and DuckDB derive identical
+    discrete codes. y depends on doc length AND language, so the
+    selection has real dynamics: f_len and f_lang carry information,
+    f_src is noise, and the lang-bearing candidate earns acceptance."""
+    return {
+        "f_src": "source",
+        "f_len": "least(cast(floor(n_chars / 75.0) as int), 6)",
+        "f_lang": "lang",
+        "y_cls": (
+            "least(cast(floor(n_chars / 150.0) as int), 3)"
+            " + (CASE WHEN lang IN ('en', 'de') THEN 4 ELSE 0 END)"
+        ),
+    }
+
+
+def gfssf_select_docs(spark, sf_dir):
+    """End-to-end GFSSF feature selection (accept + sequential prune)
+    over a materialized discrete feature matrix on documents, with
+    EXACT cube entropies (validation/validators.py
+    gfssf_discrete_select): existing features {f_src, f_len}, candidate
+    f_lang, target y_cls. Every CMI and both λs replay in the DuckDB
+    oracle from the same GROUP BY CUBE counts, including the
+    sequential prune's decision tree."""
+    from ballet_spark.validation.validators import gfssf_discrete_select
+
+    c = _gfssf_base_cols()
+    base = _t(spark, sf_dir, "documents").selectExpr(
+        f"{c['f_src']} AS f_src",
+        f"{c['f_len']} AS f_len",
+        f"{c['f_lang']} AS f_lang",
+        f"{c['y_cls']} AS y_cls",
+    )
+    report = gfssf_discrete_select(
+        base, ["f_src", "f_len"], "f_lang", "y_cls"
+    )
+
+    def r6(x: float) -> float:
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+    rows = [
+        (d["feature"], d["role"], r6(d["cmi_full"]), d["kept"], r6(d["h_y"]))
+        for d in report
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature string, role string, cmi_full double, kept boolean, "
+        "h_y double",
+    )
+
+
 def salted_running_stats(spark, sf_dir):
     """Hot-entity running aggregates via the two-phase prefix scan
     (plans/skew.py salted_running_agg): head users take
@@ -1495,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter_docs": repetition_filter_docs,
         # --- (2) round-3/4 additions ---
         "salted_running_stats": salted_running_stats,
+        "gfssf_select_docs": gfssf_select_docs,
         "grouped_apply_normalize": grouped_apply_normalize,
         "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
         # --- (3) round-1 representative core ---
@@ -2335,6 +2389,97 @@ def _generated_oracles() -> dict[str, str]:
                {sr(FFT[3][2], 4)} AS ts_fft3_abs
         FROM s GROUP BY user_id
     """
+    # --- gfssf_select_docs: generated mirror of the discrete GFSSF
+    # decision procedure (validators.py gfssf_discrete_select). One
+    # CUBE gives every subset entropy; λs, the accept disjunction, and
+    # the sequential prune's decision tree unroll into CASE chains over
+    # the same H values. gid convention matches Spark grouping_id
+    # (first cube column = MSB, 1 = aggregated out).
+    gc = _gfssf_base_cols()
+    GCOLS = ["f_src", "f_len", "f_lang", "y_cls"]
+
+    def ggid(keep: frozenset) -> int:
+        return sum(
+            1 << (len(GCOLS) - 1 - i)
+            for i in range(len(GCOLS))
+            if GCOLS[i] not in keep
+        )
+
+    def gh(*keep) -> str:
+        return f"(SELECT h FROM ent WHERE gid = {ggid(frozenset(keep))})"
+
+    def gcmi(x: str, z) -> str:
+        zs = list(z)
+        return (
+            f"({gh(x, *zs)} + {gh('y_cls', *zs)} - {gh(*zs)}"
+            f" - {gh(x, 'y_cls', *zs)})"
+        )
+
+    HY = gh("y_cls")
+    L1A = f"({HY} / 64 / 3)"  # accept ctx: 3 single-col features
+    ACC = (
+        f"(({gcmi('f_lang', ['f_src', 'f_len'])} - ({L1A} + {L1A})) >= 0"
+        f" OR (({gcmi('f_lang', ['f_len'])} - {gcmi('f_src', ['f_len'])})"
+        f" - {L1A}) >= 0"
+        f" OR (({gcmi('f_lang', ['f_src'])} - {gcmi('f_len', ['f_src'])})"
+        f" - {L1A}) >= 0)"
+    )
+    # prune thresholds: λ1+λ2 for the post-accept set size
+    T3 = f"({HY} / 64 / 3 + {HY} / 64 / 3)"
+    T2 = f"({HY} / 64 / 2 + {HY} / 64 / 2)"
+    P_SRC = (
+        f"CASE WHEN acc THEN {gcmi('f_src', ['f_len', 'f_lang'])} < {T3}"
+        f" ELSE {gcmi('f_src', ['f_len'])} < {T2} END"
+    )
+    P_LEN = (
+        f"CASE WHEN acc AND p_src THEN {gcmi('f_len', ['f_lang'])} < {T3}"
+        f" WHEN acc AND NOT p_src"
+        f" THEN {gcmi('f_len', ['f_src', 'f_lang'])} < {T3}"
+        f" WHEN NOT acc AND p_src THEN {gcmi('f_len', [])} < {T2}"
+        f" ELSE {gcmi('f_len', ['f_src'])} < {T2} END"
+    )
+    P_LANG = (
+        f"CASE WHEN NOT acc THEN false"
+        f" WHEN p_src AND p_len THEN {gcmi('f_lang', [])} < {T3}"
+        f" WHEN p_src AND NOT p_len THEN {gcmi('f_lang', ['f_len'])} < {T3}"
+        f" WHEN NOT p_src AND p_len THEN {gcmi('f_lang', ['f_src'])} < {T3}"
+        f" ELSE {gcmi('f_lang', ['f_src', 'f_len'])} < {T3} END"
+    )
+
+    def g6(expr: str) -> str:
+        return f"({sr(expr, 6)} + 0.0)"
+
+    out["gfssf_select_docs"] = f"""
+        WITH base AS (SELECT {gc['f_src']} AS f_src,
+                             {gc['f_len']} AS f_len,
+                             {gc['f_lang']} AS f_lang,
+                             {gc['y_cls']} AS y_cls
+                      FROM documents),
+        cnt AS (SELECT grouping(f_src) * 8 + grouping(f_len) * 4
+                       + grouping(f_lang) * 2 + grouping(y_cls) AS gid,
+                       count(*) AS n
+                FROM base GROUP BY CUBE(f_src, f_len, f_lang, y_cls)),
+        ent AS (SELECT gid,
+                       ln(sum(n)::DOUBLE)
+                           - sum(n::DOUBLE * ln(n::DOUBLE)) / sum(n) AS h
+                FROM cnt GROUP BY gid),
+        d0 AS (SELECT {ACC} AS acc),
+        d1 AS (SELECT acc, {P_SRC} AS p_src FROM d0),
+        d2 AS (SELECT acc, p_src, {P_LEN} AS p_len FROM d1),
+        d3 AS (SELECT acc, p_src, p_len, {P_LANG} AS p_lang FROM d2)
+        SELECT 'f_src' AS feature, 'existing' AS role,
+               {g6(gcmi('f_src', ['f_len', 'f_lang']))} AS cmi_full,
+               NOT p_src AS kept, {g6(HY)} AS h_y FROM d3
+        UNION ALL
+        SELECT 'f_len', 'existing',
+               {g6(gcmi('f_len', ['f_src', 'f_lang']))},
+               NOT p_len, {g6(HY)} FROM d3
+        UNION ALL
+        SELECT 'f_lang', 'candidate',
+               {g6(gcmi('f_lang', ['f_src', 'f_len']))},
+               acc AND NOT p_lang, {g6(HY)} FROM d3
+    """
+
     out["salted_running_stats"] = f"""
         WITH q AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 1000000.0 + 0.5)

@@ -248,3 +248,52 @@ def estimate_conditional_information_spark(
     return estimate_conditional_information(
         arr[:, :nx], arr[:, nx : nx + ny], arr[:, nx + ny :]
     )
+
+
+def subset_entropies_cube(df, cols) -> dict[frozenset, float]:
+    """EXACT Shannon entropy of EVERY subset of the discrete ``cols``
+    in ONE pass: ``cube(*cols)`` emits every marginal's counts with a
+    ``grouping_id`` tag (one Expand + one shuffle — 2^k × the input in
+    the mapper, fine for the handful of low-cardinality columns GFSSF
+    validates), then a tiny per-gid aggregation of Σn·ln n. Returns
+    {frozenset(subset) → H}; H(∅) = 0 falls out of the total row.
+
+    This is the distributed-and-SQL-replayable discrete path for GFSSF
+    CMI terms: CMI(x;y|z) = H(xz) + H(yz) − H(z) − H(xyz), every term
+    exact — no sampling, no KSG estimator variance. Requires non-NULL
+    column values (cube marks aggregated-out columns with NULL, so
+    data NULLs would collide; encode NULL as a sentinel first)."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    n = len(cols)
+    cube = df.cube(*cols).agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
+    )
+    rows = (
+        cube.groupBy("gid")
+        .agg(
+            F.sum("n").alias("total"),
+            F.sum(F.col("n") * F.log(F.col("n"))).alias("nlogn"),
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        # grouping_id: bit (n-1-i) set ⟺ cols[i] aggregated OUT
+        kept = frozenset(
+            cols[i] for i in range(n) if not (r["gid"] >> (n - 1 - i)) & 1
+        )
+        total = r["total"]
+        out[kept] = (
+            0.0 if not total else float(np.log(total) - r["nlogn"] / total)
+        )
+    return out
+
+
+def cmi_discrete(H: dict, x, y, z=()) -> float:
+    """CMI(x; y | z) from a :func:`subset_entropies_cube` dict."""
+    zs = frozenset(z)
+    return (
+        H[zs | {x}] + H[zs | {y}] - H[zs] - H[zs | {x, y}]
+    )

@@ -240,3 +240,86 @@ class GFSSFPruner:
             if cmi < threshold:
                 redundant.append(name)
         return redundant
+
+
+def gfssf_discrete_select(
+    df,
+    features: list[str],
+    candidate: str,
+    y_col: str,
+) -> list[dict]:
+    """End-to-end GFSSF accept+prune over DISCRETE feature columns with
+    EXACT distributed entropies — the oracle-replayable sibling of
+    :class:`GFSSFAccepter`/:class:`GFSSFPruner` (which use the KSG
+    continuous estimator on a driver sample; reference
+    ballet/validation/feature_acceptance/validator.py:42-133 and
+    feature_pruning/validator.py:34-78).
+
+    One ``cube`` pass (validation/entropy.py subset_entropies_cube)
+    yields every subset entropy; every CMI in the accept loop and the
+    sequential prune loop is then pure driver arithmetic, so the whole
+    decision procedure replays in SQL from the same cube.
+
+    Accept (GFSSF lines 1-8): the candidate joins the context; accept
+    iff for no-omission or SOME omitted g:
+    CMI(cand;y|Z−g) − CMI(g;y|Z−g) ≥ λ1 + λ2·(q_cand − q_g).
+    Prune (lines 12-13) over the post-accept set, sequentially:
+    g is redundant iff CMI(g;y|Z−g−redundant) < λ1 + λ2·q_g, with λs
+    recomputed for the prune-stage feature set (each validator run
+    builds its own context, as in the reference).
+
+    Returns one dict per feature (existing + candidate): name, role,
+    ``cmi_full`` = CMI(f;y|all others) (path-independent evidence),
+    and ``kept``."""
+    from ballet_spark.validation.entropy import cmi_discrete, subset_entropies_cube
+
+    all_feats = list(features) + [candidate]
+    H = subset_entropies_cube(df, all_feats + [y_col])
+    h_y = H[frozenset([y_col])]
+
+    # --- accept: context = existing ∪ candidate (1 col each) ---
+    n_acc = len(all_feats)
+    l1a = h_y / LAMBDA_1_ADJUSTMENT / n_acc
+    l2a = h_y / LAMBDA_2_ADJUSTMENT / n_acc
+    accepted = False
+    for omitted in [None, *features]:
+        z = [f for f in features if f != omitted]
+        stat = cmi_discrete(H, candidate, y_col, z)
+        if omitted is not None:
+            stat -= cmi_discrete(H, omitted, y_col, z)
+            thr = l1a  # q_cand − q_g = 1 − 1 = 0
+        else:
+            thr = l1a + l2a
+        if stat - thr >= 0:
+            accepted = True
+            break
+
+    # --- sequential prune over the post-accept set ---
+    pset = list(features) + ([candidate] if accepted else [])
+    l1p = h_y / LAMBDA_1_ADJUSTMENT / len(pset)
+    l2p = h_y / LAMBDA_2_ADJUSTMENT / len(pset)
+    redundant: list[str] = []
+    for name in pset:
+        z = [f for f in pset if f != name and f not in redundant]
+        if cmi_discrete(H, name, y_col, z) < l1p + l2p:
+            redundant.append(name)
+
+    report = []
+    for name in all_feats:
+        role = "candidate" if name == candidate else "existing"
+        others = [f for f in all_feats if f != name]
+        kept = (
+            (accepted and name not in redundant)
+            if role == "candidate"
+            else name not in redundant
+        )
+        report.append(
+            {
+                "feature": name,
+                "role": role,
+                "cmi_full": cmi_discrete(H, name, y_col, others),
+                "kept": bool(kept),
+                "h_y": h_y,
+            }
+        )
+    return report

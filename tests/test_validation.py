@@ -239,3 +239,82 @@ def test_discover_metrics(spark, regression_df):
     assert a["mutual_information"] > z["mutual_information"] + 0.3
     assert abs(a["mean"]) < 0.2 and 0.7 < a["std"] < 1.3
     assert a["nunique"] > 400
+
+
+def test_subset_entropies_cube_hand_case(spark):
+    """All 2^k subset entropies from one cube pass vs hand-computed
+    numpy values; H(∅) = 0."""
+    import numpy as np
+
+    from ballet_spark.validation.entropy import (
+        cmi_discrete,
+        subset_entropies_cube,
+    )
+
+    rows = [(a, b, (a + b) % 2) for a in (0, 1) for b in (0, 1, 2)] * 3
+    rows += [(0, 0, 1)] * 2  # break uniformity
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+
+    def h(cols):
+        from collections import Counter
+
+        counts = Counter(tuple(r[c] for c in cols) for r in rows) if cols else {(): len(rows)}
+        n = len(rows)
+        return float(-sum((k / n) * np.log(k / n) for k in counts.values()))
+
+    # dict rows index by frozenset of column names; tuples index data
+    data = [dict(zip("abc", r)) for r in rows]
+
+    def h_named(cols):
+        from collections import Counter
+
+        n = len(data)
+        counts = Counter(tuple(d[c] for c in cols) for d in data)
+        if not cols:
+            return 0.0
+        return float(-sum((k / n) * np.log(k / n) for k in counts.values()))
+
+    H = subset_entropies_cube(df, ["a", "b", "c"])
+    assert len(H) == 8
+    for S in H:
+        assert abs(H[S] - h_named(sorted(S))) < 1e-12, S
+    # CMI identity: I(a;c|b) >= 0 and matches the four-term formula
+    cmi = cmi_discrete(H, "a", "c", ["b"])
+    expect = (
+        h_named(["a", "b"]) + h_named(["b", "c"])
+        - h_named(["b"]) - h_named(["a", "b", "c"])
+    )
+    assert abs(cmi - expect) < 1e-12
+
+
+def test_gfssf_discrete_select_decisions(spark):
+    """Noise feature pruned, informative kept, informative candidate
+    accepted; pure-noise candidate rejected."""
+    import numpy as np
+
+    from ballet_spark.validation.validators import gfssf_discrete_select
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    x = rng.integers(0, 4, n)       # informative
+    noise = rng.integers(0, 3, n)   # junk
+    extra = rng.integers(0, 2, n)   # candidate, independently informative
+    y = x * 2 + extra               # y = f(x, extra)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c), int(t)) for a, b, c, t in zip(x, noise, extra, y)],
+        "x int, noise int, extra int, y int",
+    )
+    rep = {d["feature"]: d for d in gfssf_discrete_select(df, ["x", "noise"], "extra", "y")}
+    assert rep["x"]["kept"] and not rep["noise"]["kept"]
+    assert rep["extra"]["kept"] and rep["extra"]["role"] == "candidate"
+    assert rep["x"]["cmi_full"] > 0.5 and rep["noise"]["cmi_full"] < 0.05
+
+    # a candidate carrying nothing about y must be rejected
+    junk = rng.integers(0, 5, n)
+    df2 = spark.createDataFrame(
+        [(int(a), int(c), int(j), int(t)) for a, c, j, t in zip(x, extra, junk, y)],
+        "x int, extra int, junk int, y int",
+    )
+    rep2 = {d["feature"]: d for d in gfssf_discrete_select(df2, ["x", "extra"], "junk", "y")}
+    assert not rep2["junk"]["kept"]
+    assert rep2["x"]["kept"] and rep2["extra"]["kept"]
