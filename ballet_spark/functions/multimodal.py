@@ -3,14 +3,15 @@
 Per the task brief: media are opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas UDFs over ``mapInPandas``. The REAL decode path
-handles uncompressed binary netpbm (PPM ``P6`` / PGM ``P5``) with a
-pure-numpy decoder (:func:`decode_ppm`) — no image library needed.
-Compressed formats (JPEG/PNG/audio/video) raise
-:class:`NotImplementedError` naming the missing dependency (the
-container ships no codec libraries), and ``fake=True`` switches in a
-deterministic fake decoder so the Spark-side plumbing — schema,
-partition sizing, UDF signature, batch shape — is exercisable on any
-bytes.
+handles uncompressed binary netpbm (PPM ``P6`` / PGM ``P5``,
+:func:`decode_ppm`) AND compressed 8-bit PNG (stdlib zlib + numpy
+unfiltering, :func:`decode_png`) — no image library needed; dispatch
+by magic via :func:`decode_image`. Formats needing a codec library
+the container doesn't ship (JPEG/MP3/video) raise
+:class:`NotImplementedError` naming the dependency, and ``fake=True``
+switches in a deterministic fake decoder so the Spark-side plumbing —
+schema, partition sizing, UDF signature, batch shape — is exercisable
+on any bytes.
 
 Schema convention::
 
@@ -85,10 +86,10 @@ def _ppm_header(data: bytes):
         # must fail with the "unsupported format" error, not an int()
         # ValueError from garbage header tokens
         raise NotImplementedError(
-            f"unsupported image magic {magic[:16]!r}: only binary PPM/PGM "
-            "decode in-container; JPEG/PNG/etc. require Pillow/opencv "
-            "(not present) — pass fake=True for the deterministic stub "
-            "decoder"
+            f"unsupported image magic {magic[:16]!r}: binary PPM/PGM and "
+            "8-bit PNG decode in-container; JPEG/etc. require "
+            "Pillow/opencv (not present) — pass fake=True for the "
+            "deterministic stub decoder"
         )
     w, h, maxval = int(token()), int(token()), int(token())
     pos += 1  # the single whitespace after maxval
@@ -125,6 +126,203 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError(f"truncated P5 raster: need {n} bytes, have {len(data) - off}")
     gray = np.frombuffer(data, dtype=np.uint8, count=n, offset=off).reshape(h, w)
     return gray.astype(float) * scale
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-Python PNG decoder (stdlib ``zlib`` + numpy unfiltering) —
+    a COMPRESSED format exercising the real decode path in-container.
+    Supports non-interlaced 8-bit images of every color type
+    (grayscale, RGB, palette, gray+alpha, RGBA); 16-bit and Adam7
+    interlacing raise :class:`NotImplementedError`. Returns the same
+    2-D float luma array as :func:`decode_ppm` (BT.601 for color;
+    alpha ignored). Chunk lengths are validated against the buffer —
+    truncated files fail with a clear ValueError, never an opaque
+    numpy/zlib abort."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            f"unsupported image magic {data[:8]!r}: expected a PNG "
+            "signature (decode_png) or netpbm P5/P6 (decode_ppm)"
+        )
+    pos, ihdr, plte, idat = 8, None, None, []
+    seen_iend = False
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError(
+                f"truncated PNG: chunk {typ!r} declares {ln} bytes but "
+                f"only {len(data) - pos - 12} remain"
+            )
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if not seen_iend and pos < len(data):
+        raise ValueError(
+            f"truncated PNG: {len(data) - pos} trailing bytes are a "
+            "partial chunk header"
+        )
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("malformed PNG: missing IHDR or IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit, ct, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if bit != 8:
+        raise NotImplementedError(f"{bit}-bit PNG not supported (8-bit only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if ct not in _PNG_CHANNELS:
+        raise ValueError(f"malformed PNG: color type {ct}")
+    if w < 1 or h < 1:
+        raise ValueError(f"malformed PNG: {w}x{h}")
+    ch = _PNG_CHANNELS[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG: IDAT inflate failed ({exc})") from exc
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"malformed PNG: raster is {len(raw)} bytes, expected "
+            f"{h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1)
+        rpos += stride + 1
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub — per-channel-lane modular prefix sum
+            rec = row.copy()
+            for j in range(ch):
+                rec[j::ch] = (
+                    np.cumsum(row[j::ch], dtype=np.uint64) % 256
+                ).astype(np.uint8)
+        elif f == 2:  # Up — uint8 addition wraps mod 256
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth: left-dependent, sequential
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ct == 0:
+        return px[:, :, 0].astype(float)
+    if ct == 4:
+        return px[:, :, 0].astype(float)  # gray, alpha dropped
+    if ct == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("malformed PNG: palette image without valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("malformed PNG: palette index out of range")
+        px = pal[idx]
+    else:  # 2 (RGB) or 6 (RGBA)
+        px = px[:, :, :3]
+    return (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    ).astype(float)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Inverse of :func:`decode_png` for tests/benches: a 2-D uint8
+    array becomes 8-bit grayscale PNG, an ``(h, w, 3)`` array 8-bit
+    RGB. ``filter_type`` applies that PNG filter (0–4) to every
+    scanline so each unfilter path is exercisable."""
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ct, ch = 0, 1
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ct, ch = 2, 3
+        h, w, _ = a.shape
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8 array, got {arr.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    rows = a.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        rec = rows[y]
+        if filter_type == 0:
+            filt = rec
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            filt = (rec - left) % 256
+        elif filter_type == 2:
+            filt = (rec - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            filt = (rec - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (rec - pred) % 256
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = rec
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + typ + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ct, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-dispatched real decode: PNG (:func:`decode_png`) or
+    binary netpbm (:func:`decode_ppm`) → 2-D float luma."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    return decode_ppm(data)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -213,7 +411,7 @@ def image_features(
                     widths.append(w)
                     heights.append(h)
                 else:
-                    luma = decode_ppm(d)
+                    luma = decode_image(d)
                     lumas.append(luma)
                     # real path: dimensions come from the file header,
                     # which is authoritative over the meta struct
@@ -268,7 +466,7 @@ def resize_images(
                 if m is None or not d:
                     out_media.append(None)
                     continue
-                luma = decode_ppm(bytes(d))
+                luma = decode_image(bytes(d))
                 h, w = luma.shape
                 if (h, w) not in grids:
                     grids[(h, w)] = (

@@ -389,3 +389,103 @@ def test_decode_wav_rejects_truncated_chunks():
     short = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
     with _pytest.raises(ValueError, match="fmt chunk too short"):
         decode_wav(short)
+
+
+def test_png_decode_matches_ppm_and_numpy():
+    """VERDICT r3 ask #6: compressed PNG exercises the real decode path
+    — every filter type, every 8-bit color type, luma equal to the
+    PPM decode of the same pixels."""
+    from ballet_spark.functions.multimodal import (
+        decode_image,
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.allclose(
+            decode_png(encode_png(gray, filter_type=ft)), gray.astype(float)
+        )
+        assert np.allclose(
+            decode_png(encode_png(rgb, filter_type=ft)),
+            decode_ppm(encode_ppm(rgb)),
+        )
+    # magic dispatch
+    assert np.allclose(decode_image(encode_png(gray)), gray.astype(float))
+    assert np.allclose(decode_image(encode_ppm(gray)), gray.astype(float))
+
+    # truncated chunk / bad raster fail clearly
+    good = encode_png(gray)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[:40])
+    import zlib as _z
+
+    bad = bytearray(good)
+    idat_pos = good.index(b"IDAT")
+    bad[idat_pos + 4] ^= 0xFF  # corrupt the deflate stream
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_png(b"JFIF....not a png....")
+
+
+def test_png_through_spark_image_features(spark):
+    """Real (non-fake) mapInPandas path over PNG media: features equal
+    the PPM encoding of the same pixels, and resize_images handles PNG
+    inputs."""
+    import datetime as dt
+
+    from ballet_spark.functions.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, size=(16 + i, 20, 3), dtype=np.uint8)
+        enc = encode_png(px, filter_type=i % 5) if i % 2 else encode_ppm(px)
+        rows.append(
+            (
+                f"https://img{i}.example/",
+                dt.datetime(2024, 1, 1 + i),
+                bytearray(enc),
+                ("image/png" if i % 2 else "image/x-portable", 20, 16 + i, 0.0),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, "
+        "duration_s: double>",
+    )
+    out = image_features(df, fake=False).toPandas().set_index("url")
+    for i in range(12):
+        r = out.loc[f"https://img{i}.example/"]
+        assert r["width"] == 20 and r["height"] == 16 + i
+        assert 0 <= r["mean_luma"] <= 255
+    # png and ppm encodings of identical pixels give identical features
+    px = rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+    both = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), bytearray(encode_png(px, 4)),
+             ("image/png", 20, 16, 0.0)),
+            ("b", dt.datetime(2024, 1, 1), bytearray(encode_ppm(px)),
+             ("image/x-portable", 20, 16, 0.0)),
+        ],
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, "
+        "duration_s: double>",
+    )
+    fp = image_features(both, fake=False).toPandas().set_index("url")
+    assert fp.loc["a", "phash"] == fp.loc["b", "phash"]
+    assert np.isclose(fp.loc["a", "mean_luma"], fp.loc["b", "mean_luma"])
+
+    rs = resize_images(df, 8, 8).toPandas()
+    assert (rs["width"] == 8).all() and rs["media"].notna().all()
