@@ -192,6 +192,8 @@ def headline_queries(spark, sf_dir):
         "tfidf_top_terms",
         "grouped_apply_normalize",
         "embedding_ivf_fixed_topk",
+        "salted_running_stats",
+        "gfssf_select_docs",
     ]
     qs = entry.queries()
     out = {}
@@ -253,10 +255,12 @@ def run_default():
     timings = {}
 
     n_docs, best = 0, None
-    # best of 2 (not 3 as in headline_queries): the backfill rep is the
-    # single most expensive item and includes a full parquet write, so
-    # a third rep buys little noise reduction for its cost
-    for _ in range(2):
+    # best of 5 (VERDICT r3 ask #3): these two are the HEADLINE
+    # numbers, and r03 recorded webtext_asof_join's 2.66s noise draw
+    # against an identical plan whose best sits at 0.8-1.1s — the two
+    # webtext jobs get the same best-of-5 pinning that stabilized
+    # embedding_neardups in round 3.
+    for _ in range(5):
         t0 = time.perf_counter()
         n_docs = backfill(spark, path, "/tmp/ballet_spark_matrix.parquet")
         dt = time.perf_counter() - t0
@@ -264,7 +268,7 @@ def run_default():
     timings["webtext_backfill"] = round(best, 3)
 
     best = None
-    for _ in range(2):
+    for _ in range(5):
         t0 = time.perf_counter()
         asof_bench(spark, path)
         dt = time.perf_counter() - t0
