@@ -73,12 +73,23 @@ def one_sequence(spark, batch_docs: int, k: int):
         n_pairs = pairs.count()
         dt = time.perf_counter() - t0
         # grow + materialize the index outside the timed region, as a
-        # production ingest would persist it between snapshots
-        index = index.union(delta)
-        index.buckets = index.buckets.persist()
-        index.grams = index.grams.persist()
+        # production ingest would persist it between snapshots.
+        # localCheckpoint truncates the deepening union lineage AND
+        # lets the previous generation unpersist — without both, the
+        # harness accumulates k overlapping cached copies and measures
+        # its own memory pressure instead of the ingest
+        old = index
+        merged = old.union(delta)
+        index = LshIndex(
+            merged.buckets.localCheckpoint(eager=True),
+            merged.grams.localCheckpoint(eager=True),
+        )
         n_index = index.grams.count()
-        index.buckets.count()
+        for df in (old.buckets, old.grams):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         release_caches(spark)  # operator-internal persists only
         batch.unpersist()
         steps.append(

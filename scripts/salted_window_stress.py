@@ -66,7 +66,8 @@ def fixture(spark, hot_rows: int):
 
 def sink(df):
     return df.agg(
-        F.count(F.lit(1)), F.sum(F.xxhash64("url", "run_sum", "run_count"))
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("url", "run_sum", "run_count").cast("decimal(38,0)")),
     ).collect()
 
 
