@@ -1427,6 +1427,39 @@ def salted_running_stats(spark, sf_dir):
     )
 
 
+def salted_rolling_stats(spark, sf_dir):
+    """Hot-entity trailing 1h-window aggregates via the ghost-row
+    two-phase plan (plans/skew.py salted_rolling_agg): head users get
+    chunk-local RANGE windows with boundary rows replicated into the
+    next chunk, tail a plain window — semantics identical to one RANGE
+    [t−1h, t] window, so the oracle is the plain SQL form. Microunit
+    integral decimals for regroup-proof sums (see
+    salted_running_stats)."""
+    from ballet_spark.plans.skew import salted_rolling_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("v_q"),
+    )
+    out = salted_rolling_agg(
+        ev, "user_id", "ts", "v_q",
+        duration_s=3600,
+        aggs=("sum", "count", "min", "max"),
+        top_k=5, chunk_seconds=4 * 3600,
+    )
+    return out.select(
+        "event_id",
+        _sround(F.col("roll_sum").cast("double") / 1e6, 4).alias("roll_sum"),
+        F.col("roll_count").cast("bigint").alias("roll_count"),
+        _sround(F.col("roll_min").cast("double") / 1e6, 4).alias("roll_min"),
+        _sround(F.col("roll_max").cast("double") / 1e6, 4).alias("roll_max"),
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1564,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupwise_scale": groupwise_scale,
         # --- (2) new or changed this round ---
         "salted_running_stats": salted_running_stats,
+        "salted_rolling_stats": salted_rolling_stats,
         "gfssf_select_docs": gfssf_select_docs,
         "ts_features_user": ts_features_user,
         "curation_pipeline": curation_pipeline,
@@ -2509,6 +2543,21 @@ def _generated_oracles() -> dict[str, str]:
         FROM q
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    out["salted_rolling_stats"] = f"""
+        WITH q AS (SELECT event_id, user_id, epoch(ts) AS te,
+                          CAST(floor(value * 1000000.0 + 0.5)
+                               AS DECIMAL(38,0)) AS v_q
+                   FROM events)
+        SELECT event_id,
+               {sr("(sum(v_q) OVER w)::DOUBLE / 1000000.0", 4)} AS roll_sum,
+               (count(v_q) OVER w)::BIGINT AS roll_count,
+               {sr("(min(v_q) OVER w)::DOUBLE / 1000000.0", 4)} AS roll_min,
+               {sr("(max(v_q) OVER w)::DOUBLE / 1000000.0", 4)} AS roll_max
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY te
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """
 
     out["iterative_impute_value"] = """

@@ -295,6 +295,102 @@ def salted_running_agg(
     return tail_out.unionByName(head_out.select(*tail_out.columns))
 
 
+def salted_rolling_agg(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    duration_s: int,
+    aggs: Sequence[str] = ("sum", "count", "min", "max"),
+    head: Sequence | None = None,
+    top_k: int = 50,
+    chunk_seconds: int | None = None,
+    out_prefix: str = "roll",
+) -> DataFrame:
+    """Trailing time-window aggregates (all rows in ``[t−D, t]`` per
+    key, RANGE semantics) with a two-phase plan for hot entities — the
+    rolling sibling of :func:`salted_running_agg`.
+
+    Head keys chunk by time (``chunk_seconds ≥ duration_s``, default
+    ``4·D``); a row whose trailing window can be read by the NEXT
+    chunk (within ``D`` of the chunk boundary) is replicated there as
+    a GHOST row, so every chunk-local RANGE window sees exactly the
+    rows the global window would; ghosts are dropped after the window.
+    Row inflation is bounded by ``1 + D/chunk_seconds`` (≤1.25 at the
+    default); per-task frame size is bounded by one chunk + one
+    overlap instead of the hot key's entire history. Tail keys take
+    the plain single window; results union, row-for-row equal to the
+    plain plan (parity-tested). NULL keys → tail; NULL event times
+    sort first in the plain window's NULL peer group, so they route to
+    the tail path where that semantic is preserved exactly (a NULL
+    time has no trailing range frame — its peers are the other NULL
+    rows of its key, all of which stay on the tail path together).
+
+    Float ``sum`` regroups terms across the ghost boundary exactly as
+    the plain window's sliding accumulation does NOT — pass a decimal
+    value column when bit-stable totals matter (as with
+    :func:`salted_running_agg`)."""
+    bad = [a for a in aggs if a not in _RUN_PARTIALS]
+    if bad:
+        raise ValueError(f"unsupported rolling aggs {bad}: {sorted(_RUN_PARTIALS)}")
+    if duration_s < 0:
+        raise ValueError("duration_s must be >= 0")
+    if chunk_seconds is None:
+        chunk_seconds = max(4 * duration_s, 1)
+    if chunk_seconds < duration_s:
+        raise ValueError(
+            f"chunk_seconds ({chunk_seconds}) must be >= duration_s "
+            f"({duration_s}): a trailing window may never span more "
+            "than one chunk boundary"
+        )
+    if head is None:
+        head = head_keys(df, key=key, top_k=top_k)
+    epoch = F.col(time_col).cast("timestamp").cast("double")
+    v = F.col(value_col)
+
+    def rolling_cols(w):
+        return [
+            _RUN_PARTIALS[a](v).over(w).alias(f"{out_prefix}_{a}")
+            for a in aggs
+        ]
+
+    plain_w = Window.partitionBy(key).orderBy(epoch).rangeBetween(
+        -duration_s, Window.currentRow
+    )
+    if not head:
+        return df.select("*", *rolling_cols(plain_w))
+
+    is_head = (
+        F.coalesce(F.col(key).isin(list(head)), F.lit(False))
+        & F.col(time_col).isNotNull()
+    )
+    tail_out = df.filter(~is_head).select("*", *rolling_cols(plain_w))
+
+    hot = df.filter(is_head)
+    chunk_of = F.floor(epoch / F.lit(float(chunk_seconds)))
+    real = hot.withColumn("__chunk", chunk_of).withColumn(
+        "__ghost", F.lit(False)
+    )
+    # rows within D of their chunk's end serve the next chunk's reads
+    ghosts = (
+        hot.filter(
+            epoch >= (chunk_of + 1) * F.lit(float(chunk_seconds)) - duration_s
+        )
+        .withColumn("__chunk", chunk_of + 1)
+        .withColumn("__ghost", F.lit(True))
+    )
+    both = real.unionByName(ghosts)
+    local_w = Window.partitionBy(key, "__chunk").orderBy(epoch).rangeBetween(
+        -duration_s, Window.currentRow
+    )
+    head_out = (
+        both.select("*", *rolling_cols(local_w))
+        .filter(~F.col("__ghost"))
+        .drop("__chunk", "__ghost")
+    )
+    return tail_out.unionByName(head_out.select(*tail_out.columns))
+
+
 def skew_report(df: DataFrame, key: str = "url", top_k: int = 10) -> DataFrame:
     """Key-distribution diagnostics: total rows, distinct keys, and the
     share held by the top-k keys — the planner signal for enabling the

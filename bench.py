@@ -193,6 +193,7 @@ def headline_queries(spark, sf_dir):
         "grouped_apply_normalize",
         "embedding_ivf_fixed_topk",
         "salted_running_stats",
+        "salted_rolling_stats",
         "gfssf_select_docs",
     ]
     qs = entry.queries()

@@ -102,3 +102,40 @@ def test_salted_running_rejects_bad_args(spark):
         salted_running_agg(df, "url", "ts", "value", ("median",))
     with pytest.raises(ValueError, match="chunk_seconds"):
         salted_running_agg(df, "url", "ts", "value", chunk_seconds=0)
+
+
+def test_salted_rolling_matches_plain_window(spark):
+    """Trailing time-window (RANGE [t-D, t]) two-phase plan equals the
+    plain window row-for-row, including ghost-boundary reads, tied
+    timestamps exactly at chunk edges, NULL values/times/keys."""
+    from ballet_spark.plans.skew import salted_rolling_agg
+
+    df = _fixture(spark)
+    for dur, chunk in [(3600 * 6, 86_400), (86_400, 86_400), (0, 3600)]:
+        plain = salted_rolling_agg(df, "url", "ts", "value", dur, AGGS, head=[])
+        salted = salted_rolling_agg(
+            df, "url", "ts", "value", dur, AGGS,
+            head=["hot.example"], chunk_seconds=chunk,
+        )
+        got, exp = _canon(salted), _canon(plain)
+        assert len(got) == len(exp) == df.count(), (dur, chunk)
+        pd.testing.assert_frame_equal(got, exp)
+
+    # auto head detection path
+    salted = salted_rolling_agg(df, "url", "ts", "value", 7200, AGGS, top_k=1)
+    plain = salted_rolling_agg(df, "url", "ts", "value", 7200, AGGS, head=[])
+    pd.testing.assert_frame_equal(_canon(salted), _canon(plain))
+
+
+def test_salted_rolling_guards(spark):
+    from ballet_spark.plans.skew import salted_rolling_agg
+
+    df = _fixture(spark)
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        salted_rolling_agg(
+            df, "url", "ts", "value", 7200, AGGS, chunk_seconds=3600
+        )
+    with pytest.raises(ValueError, match="duration_s"):
+        salted_rolling_agg(df, "url", "ts", "value", -1, AGGS)
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_rolling_agg(df, "url", "ts", "value", 10, ("median",))
