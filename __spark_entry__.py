@@ -1460,6 +1460,31 @@ def salted_rolling_stats(spark, sf_dir):
     )
 
 
+def lm_perplexity_docs(spark, sf_dir):
+    """Char-bigram LM perplexity scoring over the documents corpus
+    (functions/lm.py) — the CCNet-style quality gate: fit = one
+    bounded-output mapInPandas count pass + tiny merge, score = exact
+    int64 microunit sums under a broadcast 130×129 table, so any
+    partitioning equals the SQL oracle's per-bigram replay. ln runs
+    once per TABLE ENTRY (quantized to 1e-6 before scoring), never per
+    character."""
+    from ballet_spark.functions.lm import (
+        fit_char_bigram_lm,
+        score_char_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+    lm = fit_char_bigram_lm(docs, "text")
+    scored = score_char_bigram_lm(docs, lm, "text")
+    return scored.select(
+        "doc_id",
+        _sround(F.col("lm_logp"), 6).alias("lm_logp"),
+        _sround(F.col("lm_logp_ppl"), 4).alias("lm_ppl"),
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1599,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_running_stats": salted_running_stats,
         "salted_rolling_stats": salted_rolling_stats,
         "gfssf_select_docs": gfssf_select_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
         "ts_features_user": ts_features_user,
         "curation_pipeline": curation_pipeline,
         "dfs_customer_orders": dfs_customer_orders,
@@ -2558,6 +2584,47 @@ def _generated_oracles() -> dict[str, str]:
         FROM q
         WINDOW w AS (PARTITION BY user_id ORDER BY te
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """
+
+    # exact mirror of functions/lm.py: symbols = codepoints capped to
+    # ASCII+OOV (129) with BOS=129; smoothed log-probs quantized to
+    # the 1e-6 grid ONCE PER TABLE ENTRY; per-doc score = exact BIGINT
+    # sum of quantized entries, then two IEEE-exact divisions
+    out["lm_perplexity_docs"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) > 0),
+        chars AS (
+            SELECT doc_id, i,
+                   CASE WHEN unicode(substr(text, i, 1)) < 128
+                        THEN unicode(substr(text, i, 1)) ELSE 128 END AS cur,
+                   CASE WHEN i = 1 THEN 129
+                        ELSE CASE WHEN unicode(substr(text, i - 1, 1)) < 128
+                                  THEN unicode(substr(text, i - 1, 1))
+                                  ELSE 128 END END AS prev
+            FROM d, unnest(generate_series(1, length(text))) AS t(i)),
+        counts AS (SELECT prev, cur, count(*) AS n
+                   FROM chars GROUP BY prev, cur),
+        rown AS (SELECT prev, sum(n) AS rn FROM counts GROUP BY prev),
+        logp AS (
+            SELECT c.prev, c.cur,
+                   floor(ln((coalesce(counts.n, 0) + 1.0)
+                            / (coalesce(rown.rn, 0) + 129.0))
+                         * 1000000.0 + 0.5)::BIGINT AS lq
+            FROM (SELECT p.i AS prev, q.i AS cur
+                  FROM unnest(generate_series(0, 129)) p(i),
+                       unnest(generate_series(0, 128)) q(i)) c
+            LEFT JOIN counts ON counts.prev = c.prev AND counts.cur = c.cur
+            LEFT JOIN rown ON rown.prev = c.prev),
+        scored AS (
+            SELECT chars.doc_id,
+                   sum(lq)::BIGINT AS total, count(*) AS nc
+            FROM chars JOIN logp
+              ON logp.prev = chars.prev AND logp.cur = chars.cur
+            GROUP BY chars.doc_id)
+        SELECT doc_id,
+               {sr("total::DOUBLE / 1000000.0 / nc", 6)} AS lm_logp,
+               {sr("exp(-(total::DOUBLE / 1000000.0 / nc))", 4)} AS lm_ppl
+        FROM scored
     """
 
     out["iterative_impute_value"] = """

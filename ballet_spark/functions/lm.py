@@ -1,0 +1,160 @@
+"""Character-bigram language-model perplexity scoring — the canonical
+LLM-training-data quality gate (perplexity filtering à la CCNet/Gopher)
+re-expressed Spark-first, with semantics chosen to be exactly
+SQL-replayable.
+
+Model: symbols are Unicode CODEPOINTS capped to an ASCII+OOV alphabet
+(cp < 128 → cp, else the single OOV symbol 128; 129 symbols), plus a
+BOS symbol 129 so the first character is conditioned too. Probabilities
+are add-k smoothed bigram MLEs. Scale shape:
+
+- **fit** (:func:`fit_char_bigram_lm`): one ``mapInPandas`` pass emits
+  per-batch partial 130×129 count matrices as (idx, n) rows (bounded:
+  ≤16,770 rows per batch regardless of batch size), one tiny
+  ``groupBy(idx)`` merges them — a single small shuffle over the whole
+  corpus, no explode of character rows.
+- **score** (:func:`score_char_bigram_lm`): the fitted log-prob table
+  (≤16,770 entries, microunit-quantized int64) broadcasts into an
+  Arrow-batched kernel; each doc scores with one numpy gather + int64
+  sum — exact integer arithmetic, so the result is independent of
+  batching/partitioning and equal to the SQL oracle's per-bigram sum.
+
+Engine portability (the microunit discipline from BENCH/BASELINE.md):
+``ln`` is the only non-IEEE-exact step, and it runs once per TABLE
+ENTRY (not per character), quantized to the 1e-6 grid with the shared
+``floor(x·10^6 + 0.5)`` formula before any scoring arithmetic.
+Codepoint extraction uses utf-32 reinterpretation in numpy and
+``unicode(substr(...))`` in SQL — one symbol per character in both."""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SYM = 129  # 0..127 ASCII, 128 OOV
+BOS = 129  # extra row in the "previous" dimension only
+Q = 1_000_000  # microunit grid for log-probs
+
+
+def _codepoints(text: str) -> np.ndarray:
+    """Vectorized codepoint array via utf-32 reinterpretation."""
+    if not text:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+
+
+def _symbols(text: str) -> np.ndarray:
+    cps = _codepoints(text)
+    return np.where(cps < 128, cps, N_SYM - 1)
+
+
+def fit_char_bigram_lm(
+    df: DataFrame, text_col: str = "text", add_k: float = 1.0
+) -> DataFrame:
+    """Distributed bigram-count fit. Returns the log-prob table as a
+    DataFrame ``(prev int, cur int, n long, logp_q long)`` with
+    ``logp_q = floor(ln((n + k) / (row_n + k·129))·10^6 + 0.5)`` —
+    every (prev, cur) pair in [0, 129]×[0, 128] is present (smoothing
+    gives unseen pairs mass), so scoring never misses a key."""
+
+    def partial_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.zeros((N_SYM + 1) * N_SYM, dtype=np.int64)
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                s = _symbols(t)
+                if not len(s):
+                    continue
+                prev = np.concatenate([[BOS], s[:-1]])
+                np.add.at(m, prev * N_SYM + s, 1)
+            nz = np.nonzero(m)[0]
+            yield pd.DataFrame({"idx": nz, "n": m[nz]})
+
+    counts = (
+        df.select(text_col)
+        .mapInPandas(partial_counts, "idx long, n long")
+        .groupBy("idx")
+        .agg(F.sum("n").alias("n"))
+    )
+    pdf = counts.toPandas()  # ≤16,770 rows by construction
+    m = np.zeros((N_SYM + 1, N_SYM), dtype=np.int64)
+    if len(pdf):
+        m[pdf["idx"] // N_SYM, pdf["idx"] % N_SYM] = pdf["n"]
+    row_n = m.sum(axis=1, keepdims=True)
+    p = (m + add_k) / (row_n + add_k * N_SYM)
+    logp_q = np.floor(np.log(p) * Q + 0.5).astype(np.int64)
+    prev_idx, cur_idx = np.meshgrid(
+        np.arange(N_SYM + 1), np.arange(N_SYM), indexing="ij"
+    )
+    out = pd.DataFrame(
+        {
+            "prev": prev_idx.ravel().astype(np.int32),
+            "cur": cur_idx.ravel().astype(np.int32),
+            "n": m.ravel(),
+            "logp_q": logp_q.ravel(),
+        }
+    )
+    return df.sparkSession.createDataFrame(
+        out, "prev int, cur int, n long, logp_q long"
+    )
+
+
+def score_char_bigram_lm(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lm_logp",
+) -> DataFrame:
+    """Per-doc mean bigram log-probability (natural log) and perplexity
+    under a fitted table. The table collects once on the driver
+    (bounded) and ships inside the Arrow kernel closure; per doc the
+    score is an exact int64 sum of microunit log-probs, so any
+    partitioning yields identical results. Adds ``out_col`` (double,
+    NULL for NULL/empty text) and ``{out_col}_ppl`` = exp(−mean)."""
+    rows = lm.select("prev", "cur", "logp_q").collect()
+    mat = np.zeros((N_SYM + 1, N_SYM), dtype=np.int64)
+    for r in rows:
+        mat[r["prev"], r["cur"]] = r["logp_q"]
+    flat = mat.ravel()
+    cols = df.columns
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = []
+            for t in pdf[text_col]:
+                if t is None or not len(t):
+                    scores.append(None)
+                    continue
+                s = _symbols(t)
+                prev = np.concatenate([[BOS], s[:-1]])
+                total = int(flat[prev * N_SYM + s].sum())
+                # exact rational mean → one double division (IEEE-exact)
+                scores.append((total / Q) / len(s))
+            out = pdf.copy()
+            out[out_col] = pd.array(scores, dtype="Float64")
+            yield out
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    scored = df.mapInPandas(kernel, f"{ddl}, {out_col} double")
+    return scored.withColumn(f"{out_col}_ppl", F.exp(-F.col(out_col)))
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    max_ppl: float = 1e4,
+) -> DataFrame:
+    """Gate documents by LM perplexity — the CCNet-style quality
+    filter: drop docs whose char-bigram perplexity exceeds
+    ``max_ppl`` (gibberish, binary-ish spew, boilerplate soup)."""
+    scored = score_char_bigram_lm(df, lm, text_col)
+    return scored.filter(F.col("lm_logp_ppl") <= max_ppl)

@@ -195,6 +195,7 @@ def headline_queries(spark, sf_dir):
         "salted_running_stats",
         "salted_rolling_stats",
         "gfssf_select_docs",
+        "lm_perplexity_docs",
     ]
     qs = entry.queries()
     out = {}
