@@ -1485,6 +1485,29 @@ def lm_perplexity_docs(spark, sf_dir):
     )
 
 
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py decontaminate):
+    docs with doc_id % 10 == 0 stand in for the eval set; every other
+    doc is flagged if it shares an 8-word-gram with any of them (the
+    standard eval-leakage scrub — the hits here are the corpus's
+    verbatim duplicates straddling the split, exactly the leakage the
+    rule exists to catch). The benchmark gram set broadcasts — the
+    corpus side never shuffles."""
+    from ballet_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = decontaminate(train, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_grams").cast("bigint").alias(
+            "n_contaminated_grams"
+        ),
+        "contaminated",
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1625,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rolling_stats": salted_rolling_stats,
         "gfssf_select_docs": gfssf_select_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
+        "decontaminate_docs": decontaminate_docs,
         "ts_features_user": ts_features_user,
         "curation_pipeline": curation_pipeline,
         "dfs_customer_orders": dfs_customer_orders,
@@ -2625,6 +2649,25 @@ def _generated_oracles() -> dict[str, str]:
                {sr("total::DOUBLE / 1000000.0 / nc", 6)} AS lm_logp,
                {sr("exp(-(total::DOUBLE / 1000000.0 / nc))", 4)} AS lm_ppl
         FROM scored
+    """
+
+    out["decontaminate_docs"] = """
+        WITH d AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS w
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM d, unnest(generate_series(1, len(w) - 7)) t(i)),
+        bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        hits AS (SELECT g.doc_id, count(*) AS n
+                 FROM g JOIN bg USING (g)
+                 WHERE g.doc_id % 10 <> 0
+                 GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               coalesce(hits.n, 0)::BIGINT AS n_contaminated_grams,
+               coalesce(hits.n, 0) > 0 AS contaminated
+        FROM d LEFT JOIN hits ON hits.doc_id = d.doc_id
+        WHERE d.doc_id % 10 <> 0
     """
 
     out["iterative_impute_value"] = """

@@ -748,3 +748,49 @@ def exact_dedup_incremental(
     kept = fresh.join(keep_ids, id_col, "semi").drop("content_md5")
     new_hashes = fresh.select("content_md5").distinct()
     return kept, new_hashes
+
+
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination — the LLM-training-data hygiene step:
+    flag every training document sharing at least one word ``n``-gram
+    with the evaluation/benchmark set (the standard n=8..13 overlap
+    rule used to scrub eval leakage from pretraining corpora).
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are thousands of docs, the corpus is 10^12), so its DISTINCT gram
+    set broadcasts and the training side joins map-side — the corpus
+    shuffles nothing. The gram join is on the gram STRING here (the
+    contaminating gram is evidence a reviewer wants to see); at 10^13
+    grams swap in xxhash64 grams for bandwidth, as
+    :func:`ngram_jaccard_pairs` does.
+
+    Returns ``train_df`` + ``n_contaminated_grams`` (long) +
+    ``contaminated`` (boolean). Docs shorter than ``n`` words have 0 /
+    false."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench_grams = (
+        bench_df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        ).distinct()
+    )
+    train_grams = train_df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "g", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    out = train_df.join(hits, id_col, "left")
+    return out.withColumn(
+        "n_contaminated_grams",
+        F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),
+    ).withColumn("contaminated", F.col("n_contaminated_grams") > 0)

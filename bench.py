@@ -196,6 +196,7 @@ def headline_queries(spark, sf_dir):
         "salted_rolling_stats",
         "gfssf_select_docs",
         "lm_perplexity_docs",
+        "decontaminate_docs",
     ]
     qs = entry.queries()
     out = {}

@@ -273,3 +273,46 @@ def test_exact_dedup_incremental_composes(spark):
     # 'beta' was seen in snapshot 1 -> dropped; one 'gamma' survives
     assert sorted(r["doc_id"] for r in k2.collect()) == [5]
     assert seen.unionByName(h2).distinct().count() == 3  # alpha, beta, gamma
+
+
+def test_decontaminate_flags_planted_overlaps(spark):
+    """Planted eval leakage: verbatim copy, 8-gram-substring overlap,
+    and clean docs; benchmark gram set must broadcast."""
+    from ballet_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy → many shared grams
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # contains one 8-gram of the benchmark inside other text
+            (2, "xx beta gamma delta epsilon zeta eta theta iota yy"),
+            # 7-word overlap only → NOT flagged at n=8
+            (3, "beta gamma delta epsilon zeta eta theta"),
+            (4, "completely unrelated words that never overlap anything here"),
+            (5, ""),  # shorter than n → 0, false
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 3
+    assert out[2]["contaminated"] and out[2]["n_contaminated_grams"] == 1
+    assert not out[3]["contaminated"] and out[3]["n_contaminated_grams"] == 0
+    assert not out[4]["contaminated"]
+    assert not out[5]["contaminated"]
+
+    plan = (
+        decontaminate(train, bench, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # bench grams broadcast
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        decontaminate(train, bench, n=0)
