@@ -1508,6 +1508,36 @@ def decontaminate_docs(spark, sf_dir):
     )
 
 
+def pii_redaction_docs(spark, sf_dir):
+    """PII scrub (functions/text.py redact_pii/pii_counts): the corpus
+    text gets deterministic synthetic PII appended (email, IPv4, phone,
+    long id — derived from doc_id identically in both engines, since
+    the generator corpus carries none), then the JVM regex kernels
+    count and redact. Shuffle-free map; patterns live in the
+    Java-regex ∩ RE2 subset so the SQL replay is byte-identical."""
+    from ballet_spark.functions.text import pii_counts, redact_pii
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com or 10."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit(".4 call 555-867-530"), (d % 10).cast("string"),
+        F.lit(" id 12345678"), (d % 10).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", injected.alias("t")
+    )
+    counts = pii_counts(F.col("t"))
+    return docs.select(
+        "doc_id",
+        *[counts[k].cast("bigint").alias(f"n_{k}") for k in
+          ("email", "ipv4", "phone", "long_id")],
+        redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1649,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfssf_select_docs": gfssf_select_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "decontaminate_docs": decontaminate_docs,
+        "pii_redaction_docs": pii_redaction_docs,
         "ts_features_user": ts_features_user,
         "curation_pipeline": curation_pipeline,
         "dfs_customer_orders": dfs_customer_orders,
@@ -2668,6 +2699,34 @@ def _generated_oracles() -> dict[str, str]:
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM d LEFT JOIN hits ON hits.doc_id = d.doc_id
         WHERE d.doc_id % 10 <> 0
+    """
+
+    # PII patterns imported from the engine so engine and oracle can
+    # never drift; DuckDB single-quoted strings treat backslashes
+    # literally, so the Java-subset patterns drop in raw
+    from ballet_spark.functions.text import PII_PATTERNS as _PII
+
+    _pii_t = (
+        "text || ' contact user' || doc_id || '@example.com or 10.'"
+        " || (doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+        " || '.4 call 555-867-530' || (doc_id % 10)"
+        " || ' id 12345678' || (doc_id % 10)"
+    )
+    _pii_counts_sql = ",\n               ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    _pii_redacted = "t"
+    for _, pat, token in _PII:
+        _pii_redacted = (
+            f"regexp_replace({_pii_redacted}, '{pat}', '{token}', 'g')"
+        )
+    out["pii_redaction_docs"] = f"""
+        WITH base AS (SELECT doc_id, {_pii_t} AS t FROM documents)
+        SELECT doc_id,
+               {_pii_counts_sql},
+               {_pii_redacted} AS redacted
+        FROM base
     """
 
     out["iterative_impute_value"] = """

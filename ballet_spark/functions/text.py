@@ -444,3 +444,42 @@ def repetition_metrics(
         F.col("__r.top").alias(f"top_{top_n}gram_frac"),
         F.col("__r.dup").alias(f"dup_{dup_n}gram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — pure-JVM regex kernels (shuffle-free, fuse into the scan)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 subset (no lookaround, no
+# backrefs) so the engine and any SQL oracle agree byte-for-byte.
+# Order matters for redaction: emails first (their local part can look
+# like an id), then IPv4 (dots disambiguate from digit runs), then
+# phone shapes, then bare long digit runs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    ("long_id", r"\b\d{9,}\b", "[ID]"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM ``regexp_count`` — vectorized,
+    no Python). Counts are on the ORIGINAL text, before any
+    redaction."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its bracketed token, in the fixed
+    :data:`PII_PATTERNS` order — the curation scrub a training corpus
+    gets before anything else reads it. Chained JVM
+    ``regexp_replace``; whole-stage codegen keeps it in the scan
+    stage."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -197,6 +197,7 @@ def headline_queries(spark, sf_dir):
         "gfssf_select_docs",
         "lm_perplexity_docs",
         "decontaminate_docs",
+        "pii_redaction_docs",
     ]
     qs = entry.queries()
     out = {}

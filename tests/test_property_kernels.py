@@ -88,3 +88,43 @@ def test_contrast_matrices_code_properties(k):
     # polynomial contrasts are orthonormal
     p = np.array(contrast_matrix("polynomial", k))
     assert np.allclose(p.T @ p, np.eye(k - 1), atol=1e-9)
+
+
+def test_pii_redaction_kernels(spark):
+    """redact_pii / pii_counts: every pattern kind, overlap ordering
+    (email local parts and IPs must not be re-matched as ids), and a
+    clean doc."""
+    from pyspark.sql import functions as F
+
+    from ballet_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org today"),
+        (2, "server 192.168.1.254 then 8.8.8.8"),
+        (3, "call 555-123-4567 or 555 987 6543"),
+        (4, "account 123456789 and order 98765432109876"),
+        (5, "mixed: bob@x.io on 10.0.0.1 dial 111-222-3333 ref 999999999"),
+        (6, "no pii here, just words and the number 42"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    counts = pii_counts(F.col("t"))
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            *[counts[k].alias(k) for k in ("email", "ipv4", "phone", "long_id")],
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["email"] == 1 and "[EMAIL]" in out[1]["red"]
+    assert "@" not in out[1]["red"]
+    assert out[2]["ipv4"] == 2 and out[2]["red"].count("[IP]") == 2
+    assert out[3]["phone"] == 2 and out[3]["red"].count("[PHONE]") == 2
+    assert out[4]["long_id"] == 2 and out[4]["red"].count("[ID]") == 2
+    r5 = out[5]
+    assert (r5["email"], r5["ipv4"], r5["phone"], r5["long_id"]) == (1, 1, 1, 1)
+    for tok in ("[EMAIL]", "[IP]", "[PHONE]", "[ID]"):
+        assert tok in r5["red"]
+    assert out[6]["red"] == rows[5][1]  # untouched
+    assert out[7]["red"] is None  # NULL propagates
