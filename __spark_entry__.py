@@ -1538,6 +1538,41 @@ def pii_redaction_docs(spark, sf_dir):
     )
 
 
+def remove_frequent_segments_docs(spark, sf_dir):
+    """C4-style boilerplate removal (operators/dedup.py
+    remove_frequent_lines): the corpus has no newlines, so docs first
+    re-segment into 5-word chunks (deterministic positional slicing,
+    identical in both engines) joined by newlines; chunks appearing in
+    more than 3 documents — the corpus's duplicated boilerplate spans —
+    are stripped from every doc. One bounded count-agg finds the
+    removal set, then a pure map-side InSet rewrite; the corpus is
+    never shuffled for the rewrite."""
+    from ballet_spark.operators.dedup import remove_frequent_lines
+
+    seg_expr = (
+        "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
+        "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
+        " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",
+        )
+        .selectExpr("doc_id", f"{seg_expr} AS t2")
+    )
+    out = remove_frequent_lines(
+        docs, "t2", sep="\n", min_df=3, out_col="cleaned"
+    )
+    n_kept = F.when(F.col("cleaned") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("cleaned"), "\n"))
+    )
+    return out.select(
+        "doc_id", "cleaned", n_kept.cast("bigint").alias("n_kept_segments")
+    )
+
+
 def percentile_stats(spark, sf_dir):
     """Exact interpolated percentiles (median / p95) of doc length per
     language — one hash agg with partial aggregation. At 100 TB the
@@ -1680,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": lm_perplexity_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redaction_docs": pii_redaction_docs,
+        "remove_frequent_segments_docs": remove_frequent_segments_docs,
         "ts_features_user": ts_features_user,
         "curation_pipeline": curation_pipeline,
         "dfs_customer_orders": dfs_customer_orders,
@@ -2727,6 +2763,31 @@ def _generated_oracles() -> dict[str, str]:
                {_pii_counts_sql},
                {_pii_redacted} AS redacted
         FROM base
+    """
+
+    out["remove_frequent_segments_docs"] = """
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS w
+                   FROM documents),
+        seg AS (SELECT doc_id, i,
+                       array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ') AS chunk
+                FROM d, unnest(generate_series(
+                         0, cast(ceil(len(w) / 5.0) as int) - 1)) t(i)),
+        dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS n
+                  FROM seg GROUP BY chunk),
+        freq AS (SELECT chunk FROM dfreq WHERE n > 3),
+        kept AS (SELECT seg.doc_id, seg.i, seg.chunk
+                 FROM seg LEFT JOIN freq USING (chunk)
+                 WHERE freq.chunk IS NULL),
+        agg AS (SELECT doc_id,
+                       string_agg(chunk, chr(10) ORDER BY i) AS cleaned,
+                       count(*) AS nseg
+                FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(agg.cleaned, '') AS cleaned,
+               coalesce(agg.nseg, 0)::BIGINT AS n_kept_segments
+        FROM d LEFT JOIN agg USING (doc_id)
     """
 
     out["iterative_impute_value"] = """

@@ -794,3 +794,79 @@ def decontaminate(
         "n_contaminated_grams",
         F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),
     ).withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+
+
+FREQUENT_LINES_HARD_CAP = 100_000
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 10,
+) -> list[str]:
+    """Corpus-frequent line/segment set — C4-style boilerplate
+    detection: segments (split on ``sep``) whose DOCUMENT frequency
+    exceeds ``min_df`` (nav bars, cookie banners, footers appear in
+    thousands of docs; content lines in one). One explode + one
+    partial+final count agg; the result is small by construction
+    (boilerplate = few distinct lines at high df) and hard-capped at
+    ``FREQUENT_LINES_HARD_CAP`` with a warning, keeping the collect
+    bounded like :func:`~ballet_spark.plans.skew.head_keys`."""
+    import re as _re
+
+    lines = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), _re.escape(sep)))
+        ).alias("l")
+    ).filter(F.col("l") != "")
+    counts = lines.groupBy("l").agg(F.count(F.lit(1)).alias("n"))
+    rows = (
+        counts.filter(F.col("n") > min_df)
+        .orderBy(F.desc("n"), F.asc("l"))
+        .limit(FREQUENT_LINES_HARD_CAP + 1)
+        .collect()
+    )
+    if len(rows) > FREQUENT_LINES_HARD_CAP:
+        import warnings
+
+        warnings.warn(
+            f"frequent_lines(min_df={min_df}) matched more than "
+            f"{FREQUENT_LINES_HARD_CAP} lines; keeping the most "
+            "frequent — raise min_df (a removal set this large says "
+            "the threshold is below the corpus's content frequency)",
+            stacklevel=2,
+        )
+        rows = rows[:FREQUENT_LINES_HARD_CAP]
+    return [r["l"] for r in rows]
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 10,
+    freq: list | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip corpus-frequent segments from every document — the
+    C4-style boilerplate-removal pass. Two phases: (1)
+    :func:`frequent_lines` finds the removal set (one shuffle, bounded
+    collect); (2) a PURE MAP-SIDE rewrite filters each doc's segment
+    array against the set (Catalyst compiles the membership test to an
+    InSet hash probe) and rejoins with ``sep`` — the corpus is never
+    shuffled for the rewrite, so the pass costs one count-agg plus one
+    map over 100 TB. Preserves segment order and repetition of kept
+    segments; empty segments collapse (split+rejoin is trim-like by
+    construction)."""
+    import re as _re
+
+    if freq is None:
+        freq = frequent_lines(df, text_col, sep, min_df)
+    out_col = out_col or text_col
+    parts = F.split(F.trim(F.col(text_col)), _re.escape(sep))
+    if freq:
+        kept = F.filter(parts, lambda l: (l != "") & ~l.isin(*freq))
+    else:
+        kept = F.filter(parts, lambda l: l != "")
+    return df.withColumn(out_col, F.concat_ws(sep, kept))

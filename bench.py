@@ -198,6 +198,7 @@ def headline_queries(spark, sf_dir):
         "lm_perplexity_docs",
         "decontaminate_docs",
         "pii_redaction_docs",
+        "remove_frequent_segments_docs",
     ]
     qs = entry.queries()
     out = {}

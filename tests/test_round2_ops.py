@@ -316,3 +316,46 @@ def test_decontaminate_flags_planted_overlaps(spark):
 
     with _pytest.raises(ValueError, match="n must be"):
         decontaminate(train, bench, n=0)
+
+
+def test_remove_frequent_lines_boilerplate(spark):
+    """C4-style boilerplate stripping: corpus-frequent lines removed,
+    order and repetition of kept lines preserved, strict > min_df,
+    empty-after-cleaning docs yield ''."""
+    from ballet_spark.operators.dedup import (
+        frequent_lines,
+        remove_frequent_lines,
+    )
+
+    docs = [
+        (1, "real content line one\nSubscribe now!\nmore content"),
+        (2, "Subscribe now!\nunique thoughts here"),
+        (3, "Subscribe now!\ncookie banner\nand body text"),
+        (4, "cookie banner\nSubscribe now!\ncookie banner"),
+        (5, "Subscribe now!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    assert frequent_lines(df, min_df=2) == ["Subscribe now!"]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_frequent_lines(df, min_df=2).collect()
+    }
+    assert out[1] == "real content line one\nmore content"
+    assert out[2] == "unique thoughts here"
+    # 'cookie banner' df=2 is NOT > 2: kept, both occurrences, in order
+    assert out[4] == "cookie banner\ncookie banner"
+    assert out[5] == ""  # everything stripped
+    # explicit removal set skips the count pass
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_frequent_lines(df, freq=["cookie banner"]).collect()
+    }
+    assert out2[4] == "Subscribe now!"
+    # the rewrite is map-side: no Exchange in the plan with freq given
+    plan = (
+        remove_frequent_lines(df, freq=["cookie banner"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
