@@ -267,6 +267,11 @@ def salted_running_agg(
     )
     local = hot.select("*", *running_cols(local_w))
 
+    # totals are a SEPARATE aggregation branch over `hot`, not a
+    # derivation from the windowed output: partial aggregation shrinks
+    # this branch map-side to ≤|head·chunks| rows before its exchange,
+    # whereas reusing `local` would shuffle the FULL hot subset through
+    # a second window first (measured: strictly more exchanged bytes).
     totals = hot.groupBy(key, "__chunk").agg(
         *[_RUN_PARTIALS[a](v).alias(f"__t_{a}") for a in aggs]
     )
