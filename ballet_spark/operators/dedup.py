@@ -765,27 +765,37 @@ def decontaminate(
     Scale shape: the benchmark side is small by definition (eval sets
     are thousands of docs, the corpus is 10^12), so its DISTINCT gram
     set broadcasts and the training side joins map-side — the corpus
-    shuffles nothing. The gram join is on the gram STRING here (the
-    contaminating gram is evidence a reviewer wants to see); at 10^13
-    grams swap in xxhash64 grams for bandwidth, as
-    :func:`ngram_jaccard_pairs` does.
+    shuffles nothing. The join and the per-doc hit counting run on
+    ``xxhash64`` GRAM HASHES, not gram strings: an exploded corpus
+    carries 10^13 multi-word strings, and hashing cuts the broadcast
+    table and every exchanged row to 8 bytes (same trick as
+    :func:`ngram_jaccard_pairs`; a 2^-64 collision flags one doc
+    spuriously, it never misses real contamination). Per-doc distinct
+    grams (word_ngrams is distinct) keep counts identical to the
+    string join.
 
     Returns ``train_df`` + ``n_contaminated_grams`` (long) +
     ``contaminated`` (boolean). Docs shorter than ``n`` words have 0 /
     false."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # project tokens_col FIRST (ngrams_from_tokens contract): the HOF
+    # lambda re-evaluates its argument per gram index, so an inline
+    # split() would re-tokenize every doc once per gram
     bench_grams = (
-        bench_df.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-        ).distinct()
+        bench_df.select(tokens_col(F.col(text_col)).alias("__toks"))
+        .select(F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
     )
     train_grams = train_df.select(
-        F.col(id_col),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
-    )
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.explode_outer(ngrams_from_tokens(F.col("__toks"), n)).alias("g"),
+    ).select(id_col, F.xxhash64("g").alias("gh"))
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "g", "inner")
+        train_grams.join(F.broadcast(bench_grams), "gh", "inner")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
