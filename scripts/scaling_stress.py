@@ -7,8 +7,9 @@ superlinear term (no quadratic join, no second shuffle that grows with
 data^2), which is the property that survives a 100 TB scale-up.
 
 Round-2 covered MinHash signatures / exact dedup / hash split / TF-IDF;
-round-3 adds the skew-split as-of join and connected components
-(VERDICT r2 item 10). Best-of-reps within one session per level: this
+round-3 added the skew-split as-of join and connected components
+(VERDICT r2 item 10); round-4 adds the salted running window,
+decontamination, and LM fit+score. Best-of-reps within one session per level: this
 VM's noisy-neighbor windows swing identical jobs 3-5×, so single
 samples are weather.
 
@@ -83,7 +84,52 @@ def components_job(spark, path: str) -> int:
     return comp.count()
 
 
-JOBS = {"asof_join_skew": asof_skew_job, "dedup_components": components_job}
+def salted_running_job(spark, path: str) -> int:
+    """Hot-entity two-phase running aggregates over the Zipf webtext
+    (auto head detection, day chunks) — round-4 operator."""
+    from ballet_spark.plans.skew import salted_running_agg
+
+    pages = spark.read.parquet(path).select(
+        "url", "warc_ts", F.length("text").cast("double").alias("v")
+    )
+    out = salted_running_agg(pages, "url", "warc_ts", "v", top_k=50)
+    return bench.sink(out)
+
+
+def decontaminate_job(spark, path: str) -> int:
+    """8-gram eval-overlap decontamination with a fixed-size benchmark
+    slice (eval sets don't grow with the corpus), so the measured
+    scaling is the corpus-side explode+broadcast-probe — round-4
+    operator."""
+    from ballet_spark.operators.dedup import decontaminate
+
+    pages = spark.read.parquet(path).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+    )
+    bench_side = pages.orderBy("doc_id").limit(2000)
+    out = decontaminate(pages, bench_side, n=8)
+    return bench.sink(out.select("doc_id", "n_contaminated_grams", "contaminated"))
+
+
+def lm_score_job(spark, path: str) -> int:
+    """Char-bigram LM fit + corpus scoring (bounded-output fit pass,
+    broadcast-table exact scoring) — round-4 operator."""
+    from ballet_spark.functions.lm import fit_char_bigram_lm, score_char_bigram_lm
+
+    pages = spark.read.parquet(path).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+    )
+    lm = fit_char_bigram_lm(pages, "text")
+    return bench.sink(score_char_bigram_lm(pages, lm).select("doc_id", "lm_logp"))
+
+
+JOBS = {
+    "asof_join_skew": asof_skew_job,
+    "dedup_components": components_job,
+    "salted_running_agg": salted_running_job,
+    "decontaminate": decontaminate_job,
+    "lm_fit_score": lm_score_job,
+}
 
 
 def main() -> None:
@@ -130,7 +176,7 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
                 f"\n## Operator linear-scaling stress "
-                f"({time.strftime('%Y-%m-%d')}, round 3)\n\n"
+                f"({time.strftime('%Y-%m-%d')}, round 4)\n\n"
                 "Same jobs at 1× (200k pages / 809k docs) and 3.34× (668k pages /\n"
                 "2.7M docs) webtext,\n"
                 "local[32], best-of-%d per level (protocol above):\n\n" % reps

@@ -259,3 +259,45 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     assert by[("a", probes_pdf["ts"][0])] == 10.0
     assert by[("a", probes_pdf["ts"][1])] == 20.0
     assert by[("c", probes_pdf["ts"][3])] is None
+
+
+def test_stream_curation_kernels_match_batch(spark, stream_source):
+    """The round-4 curation kernels (PII redaction + LM scoring against
+    a batch-fitted model) are stateless column expressions / broadcast
+    lookups, so they compose with readStream unchanged and match the
+    batch result row-for-row — the streaming ingest path of a training
+    corpus can scrub and score online."""
+    from ballet_spark.functions.lm import (
+        fit_char_bigram_lm,
+        score_char_bigram_lm,
+    )
+    from ballet_spark.functions.text import pii_counts, redact_pii
+
+    stream, batch = stream_source
+    # fit offline on the batch slice (the production shape: models fit
+    # per snapshot, serve on the stream)
+    lm = fit_char_bigram_lm(batch, "text")
+
+    def curate(df):
+        counts = pii_counts(F.col("text"))
+        scored = score_char_bigram_lm(
+            df.select("url", "warc_ts", "text"), lm, "text"
+        )
+        return scored.select(
+            "url",
+            "warc_ts",
+            redact_pii(F.col("text")).alias("clean"),
+            counts["email"].alias("n_email"),
+            F.round(F.col("lm_logp"), 6).alias("lm_logp"),
+        )
+
+    out = curate(stream.filter(F.col("url") != "__sentinel__"))
+    run_stream_to_memory(out, "curate_sink", "append")
+    got = spark.sql("SELECT * FROM curate_sink").toPandas()
+    exp = curate(batch).toPandas()
+    key = ["url", "warc_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert (got["clean"] == exp["clean"]).all()
+    assert (got["lm_logp"].to_numpy() == exp["lm_logp"].to_numpy()).all()
