@@ -134,11 +134,14 @@ def _value_key(v, depth: int = 0) -> str:
         )
     if np is not None and isinstance(v, np.ndarray):
         # repr truncates large arrays ('...') — distinct arrays would
-        # collide; hash shape+dtype+contents instead
-        try:
-            body = np.ascontiguousarray(v).tobytes()
-        except (TypeError, ValueError):  # object dtype etc.
+        # collide; hash shape+dtype+contents instead. Object dtype must
+        # be checked EXPLICITLY: tobytes() on dtype=object does not
+        # raise, it silently serializes PyObject POINTER bytes — a
+        # per-process address key, the exact instability this function
+        # exists to prevent.
+        if v.dtype.hasobject:
             return "nd(" + _value_key(v.tolist(), depth + 1) + ")"
+        body = np.ascontiguousarray(v).tobytes()
         return (
             f"nd[{v.shape},{v.dtype}]:"
             + hashlib.md5(body).hexdigest()[:16]

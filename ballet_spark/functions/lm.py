@@ -124,7 +124,6 @@ def score_char_bigram_lm(
     for r in rows:
         mat[r["prev"], r["cur"]] = r["logp_q"]
     flat = mat.ravel()
-    cols = df.columns
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,6 +154,12 @@ def perplexity_filter(
 ) -> DataFrame:
     """Gate documents by LM perplexity — the CCNet-style quality
     filter: drop docs whose char-bigram perplexity exceeds
-    ``max_ppl`` (gibberish, binary-ish spew, boilerplate soup)."""
+    ``max_ppl`` (gibberish, binary-ish spew, boilerplate soup).
+    NULL/empty-text rows score NULL and PASS THROUGH — this gate only
+    rejects on measured perplexity; emptiness is a different defect
+    with its own gate (a bare ``<=`` would silently three-value them
+    away)."""
     scored = score_char_bigram_lm(df, lm, text_col)
-    return scored.filter(F.col("lm_logp_ppl") <= max_ppl)
+    return scored.filter(
+        (F.col("lm_logp_ppl") <= max_ppl) | F.col("lm_logp_ppl").isNull()
+    )

@@ -142,7 +142,16 @@ def decode_png(data: bytes) -> np.ndarray:
     2-D float luma array as :func:`decode_ppm` (BT.601 for color;
     alpha ignored). Chunk lengths are validated against the buffer —
     truncated files fail with a clear ValueError, never an opaque
-    numpy/zlib abort."""
+    numpy/zlib abort.
+
+    Performance honesty: None/Sub/Up scanlines unfilter vectorized,
+    but Average/Paeth carry a left-neighbor recurrence and fall back
+    to a per-byte Python loop — correct but slow on large
+    adaptive-filtered PNGs (libpng output is mostly Paeth). This
+    decoder's job is exercising the REAL decode path in a container
+    with no image libraries; a production corpus of big PNGs should
+    route through Pillow/opencv when available (gate on import, keep
+    this as the fallback)."""
     import zlib
 
     if data[:8] != _PNG_SIG:

@@ -788,11 +788,17 @@ def decontaminate(
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
+    # plain explode, not explode_outer: gram-less docs (shorter than n
+    # words) need no probe row — xxhash64(NULL) is the CONSTANT seed
+    # 42, and shipping one 42-row per short doc through the join both
+    # wastes rows and would spuriously flag EVERY short doc at once if
+    # a bench gram ever hashed to 42; the final left join + coalesce(0)
+    # already restores them
     train_grams = train_df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
     ).select(
         id_col,
-        F.explode_outer(ngrams_from_tokens(F.col("__toks"), n)).alias("g"),
+        F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"),
     ).select(id_col, F.xxhash64("g").alias("gh"))
     hits = (
         train_grams.join(F.broadcast(bench_grams), "gh", "inner")

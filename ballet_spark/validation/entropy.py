@@ -23,6 +23,8 @@ here it is real).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 N_NEIGHBORS = 3  # KSG k (entropy.py:19)
@@ -270,11 +272,22 @@ def subset_entropies_cube(df, cols) -> dict[frozenset, float]:
     cube = df.cube(*cols).agg(
         F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
     )
+    # Σ n·ln(n) accumulates as MICROUNIT-QUANTIZED integral decimals
+    # (the repo's exactness discipline): a raw double sum is
+    # partition-order-dependent, so the booleans GFSSF derives from
+    # these entropies could flip between runs or engines near a
+    # threshold. With quantized terms the sum is associative and
+    # engine-exact; only ln itself (1 ulp, absorbed by the grid except
+    # ~1e-10 odds per term) and the final ln(total) remain
+    # implementation-defined, so H snaps to a 1e-9 grid at the end.
     rows = (
         cube.groupBy("gid")
         .agg(
             F.sum("n").alias("total"),
-            F.sum(F.col("n") * F.log(F.col("n"))).alias("nlogn"),
+            F.sum(
+                F.floor(F.col("n") * F.log(F.col("n")) * 1e6 + F.lit(0.5))
+                .cast("decimal(38,0)")
+            ).alias("nlogn_q"),
         )
         .collect()
     )
@@ -285,9 +298,12 @@ def subset_entropies_cube(df, cols) -> dict[frozenset, float]:
             cols[i] for i in range(n) if not (r["gid"] >> (n - 1 - i)) & 1
         )
         total = r["total"]
-        out[kept] = (
-            0.0 if not total else float(np.log(total) - r["nlogn"] / total)
-        )
+        if not total:
+            out[kept] = 0.0
+            continue
+        h = float(np.log(total) - (float(r["nlogn_q"]) / 1e6) / total)
+        s = -1.0 if h < 0 else 1.0
+        out[kept] = s * math.floor(abs(h) * 1e9 + 0.5) / 1e9 + 0.0
     return out
 
 

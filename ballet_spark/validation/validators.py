@@ -296,13 +296,14 @@ def gfssf_discrete_select(
 
     # --- sequential prune over the post-accept set ---
     pset = list(features) + ([candidate] if accepted else [])
-    l1p = h_y / LAMBDA_1_ADJUSTMENT / len(pset)
-    l2p = h_y / LAMBDA_2_ADJUSTMENT / len(pset)
     redundant: list[str] = []
-    for name in pset:
-        z = [f for f in pset if f != name and f not in redundant]
-        if cmi_discrete(H, name, y_col, z) < l1p + l2p:
-            redundant.append(name)
+    if pset:  # empty when features=[] and the candidate was rejected
+        l1p = h_y / LAMBDA_1_ADJUSTMENT / len(pset)
+        l2p = h_y / LAMBDA_2_ADJUSTMENT / len(pset)
+        for name in pset:
+            z = [f for f in pset if f != name and f not in redundant]
+            if cmi_discrete(H, name, y_col, z) < l1p + l2p:
+                redundant.append(name)
 
     report = []
     for name in all_feats:

@@ -373,3 +373,18 @@ def test_hash_callable_masks_addresses_and_hashes_array_contents():
     assert not addr.search(_value_key(Repry()))
     # literal hex strings are values, not addresses — never masked
     assert "0x1f" in _value_key("0x1f")
+
+
+def test_object_dtype_ndarray_key_is_content_based():
+    """Review r4: dtype=object tobytes() silently serializes PyObject
+    POINTERS — the key must recurse contents instead."""
+    from ballet_spark.core import _value_key
+
+    a1 = np.array([{"a": 1}, [2, 3]], dtype=object)
+    a2 = np.array([{"a": 1}, [2, 3]], dtype=object)
+    a3 = np.array([{"a": 2}, [2, 3]], dtype=object)
+    assert _value_key(a1) == _value_key(a2)  # same content, new objects
+    assert _value_key(a1) != _value_key(a3)
+    import re as _re
+
+    assert not _re.search(r"0x[0-9a-fA-F]{6,}", _value_key(a1))

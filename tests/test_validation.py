@@ -276,15 +276,17 @@ def test_subset_entropies_cube_hand_case(spark):
 
     H = subset_entropies_cube(df, ["a", "b", "c"])
     assert len(H) == 8
+    # terms quantize to the 1e-6 grid (engine-portability discipline):
+    # per-H error bounded by ~5e-7·rows/N ≈ 5e-7
     for S in H:
-        assert abs(H[S] - h_named(sorted(S))) < 1e-12, S
-    # CMI identity: I(a;c|b) >= 0 and matches the four-term formula
+        assert abs(H[S] - h_named(sorted(S))) < 2e-6, S
+    # CMI identity: I(a;c|b) matches the four-term formula
     cmi = cmi_discrete(H, "a", "c", ["b"])
     expect = (
         h_named(["a", "b"]) + h_named(["b", "c"])
         - h_named(["b"]) - h_named(["a", "b", "c"])
     )
-    assert abs(cmi - expect) < 1e-12
+    assert abs(cmi - expect) < 8e-6
 
 
 def test_gfssf_discrete_select_decisions(spark):
