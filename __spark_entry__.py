@@ -1664,6 +1664,85 @@ def embedding_ivf_fixed_topk(spark, sf_dir):
     )
 
 
+def semantic_dedup_docs(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (operators/dedup.py
+    semantic_dedup; Abbas et al. 2023) with the same FIXED md5-seeded
+    centroids as `embedding_ivf_fixed_topk`, so the oracle replays
+    assignment + within-cluster pairwise cosine value-for-value. One
+    map-only assignment scan + ONE shuffle on centroid_id; pairwise
+    cost is bounded per cluster, never corpus². is_dup compares on the
+    1e-6 grid so the gate decision is engine-identical."""
+    import numpy as np
+
+    from ballet_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["embedding"], dtype="float64") for r in seeds])
+    out = semantic_dedup(emb, cents, threshold=0.2)
+    return out.select(
+        "id",
+        "centroid_id",
+        "cluster_size",
+        _sround(F.col("max_prev_cos"), 6).alias("max_prev_cos"),
+        "is_dup",
+    )
+
+
+def nb_classifier_docs(spark, sf_dir):
+    """Hashed-token Naive-Bayes quality/domain classifier
+    (functions/classifier.py) — the fastText-style learned gate of
+    DCLM/CCNet-class pipelines, fit here to predict lang='en' from
+    hashed word unigrams. Fit = one bounded-output mapInPandas count
+    pass + tiny merge (one small shuffle regardless of corpus size);
+    score = map-only exact int64 microunit sums under a broadcast
+    table, so `nb_logodds_q` is partitioning-invariant and equals the
+    SQL oracle's per-token sum EXACTLY (integer compare, no float
+    boundary)."""
+    from ballet_spark.functions.classifier import (
+        fit_nb_tokens,
+        score_nb_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    model = fit_nb_tokens(docs, "y", "text", n_buckets=256)
+    scored = score_nb_tokens(docs.select("doc_id", "text"), model, "text")
+    return scored.select("doc_id", "nb_logodds_q", "nb_pred")
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.py) — the
+    GPT-style pretraining packing scheme as order-free arithmetic: one
+    map-side md5 shard tag, ONE shuffle on the shard key, one
+    within-shard sort + running token sum; every column is exact
+    integer arithmetic the oracle replays verbatim."""
+    from ballet_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, n_shards=8)
+
+
+def mixing_weights_docs(spark, sf_dir):
+    """Corpus mixing table (operators/packing.py mixing_weights):
+    per-language token shares and the resampling weight to hit a fixed
+    target mixture — one partial+final aggregation, output is
+    group-cardinality rows. share/weight are single IEEE expressions
+    over exact int64 counts, so the doubles match bit-for-bit with no
+    rounding step."""
+    from ballet_spark.operators.packing import mixing_weights
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    target = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125}
+    return mixing_weights(docs, target, by="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver's CORRECTNESS gate evaluates
     only the FIRST 50 entries.
@@ -1683,12 +1762,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 layout: group (1) = the 19 queries whose r01/r02 verdicts
     predate the round-3 exact-aggregation refactor (17cc57f); group
-    (2) = salted_running_stats + gfssf_select_docs (new), ts_features
-    (fft extension), curation_pipeline (_sround gate), dfs_customer
-    (percap rename); group (3) = the 15 round-3 first-timers plus exactly the six
-    flagship fills that fit (q1, asof_join_purchase, sessionize_30m,
-    rolling_mean_5, forward_fill, window_lag_delta) — the window holds
-    precisely 50; everything after position 50 is parked."""
+    (2) = salted_running_stats + gfssf_select_docs + the four late-r4
+    additions (semantic_dedup, nb_classifier, pack_sequences,
+    mixing_weights), ts_features (fft extension), curation_pipeline
+    (_sround gate), dfs_customer (percap rename); group (3) = the 15
+    round-3 first-timers plus exactly the two flagship fills that fit
+    (q1, asof_join_purchase) — the window holds precisely 50;
+    everything after position 50 is parked (sessionize_30m,
+    rolling_mean_5, forward_fill, window_lag_delta moved there to make
+    room for the four new entries; all four are r03-verified and
+    unchanged)."""
     return {
         # --- (1) stale driver verdicts: re-verify first ---
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -1714,6 +1797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_running_stats": salted_running_stats,
         "salted_rolling_stats": salted_rolling_stats,
         "gfssf_select_docs": gfssf_select_docs,
+        "semantic_dedup_docs": semantic_dedup_docs,
+        "nb_classifier_docs": nb_classifier_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mixing_weights_docs": mixing_weights_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redaction_docs": pii_redaction_docs,
@@ -1737,14 +1824,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter_docs": repetition_filter_docs,
         "grouped_apply_normalize": grouped_apply_normalize,
         "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
-        # --- (3b) flagship fills: exactly the 6 slots left of 50 ---
+        # --- (3b) flagship fills: exactly the 2 slots left of 50 ---
         "q1_pricing_summary": q1_pricing_summary,
         "asof_join_purchase": asof_join_purchase,
+        # --- (4) multiply verified, unchanged: past the window ---
         "sessionize_30m": sessionize_30m,
         "rolling_mean_5": rolling_mean_5,
         "forward_fill": forward_fill,
         "window_lag_delta": window_lag_delta,
-        # --- (4) multiply verified, unchanged: past the window ---
         "dedup_exact": dedup_exact,
         "minhash_lsh_dups": minhash_lsh_dups,
         "embedding_topk": embedding_topk,
@@ -3069,5 +3156,129 @@ def _generated_oracles() -> dict[str, str]:
                        ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk
             FROM documents)
         WHERE rk <= 10
+    """
+
+    # SemDeDup replay: same fixed md5-seeded centroids + d2 expansion
+    # as embedding_ivf_fixed_topk; within-cluster max cosine to any
+    # smaller id; dup gate on the 1e-6 grid (the kernel's exact
+    # sign/floor formula)
+    out["semantic_dedup_docs"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                    - 1)::INT AS c,
+                   v AS cv
+            FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        dist AS (
+            SELECT e.vec_id, e.v, s.c,
+                   list_dot_product(s.cv, s.cv)
+                       - 2 * list_dot_product(e.v, s.cv) AS d2
+            FROM e CROSS JOIN seeds s),
+        assign AS (
+            SELECT vec_id AS id, v, c AS centroid_id FROM dist
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2 ASC, c ASC) = 1),
+        mx AS (
+            SELECT b.id, max(list_cosine_similarity(a.v, b.v)) AS m
+            FROM assign a JOIN assign b
+              ON a.centroid_id = b.centroid_id AND a.id < b.id
+            GROUP BY b.id)
+        SELECT a.id, a.centroid_id,
+               count(*) OVER (PARTITION BY a.centroid_id) AS cluster_size,
+               {sr('mx.m', 6)} AS max_prev_cos,
+               CASE WHEN mx.m IS NULL THEN FALSE
+                    ELSE {sr('mx.m', 6)} >= 0.2 END AS is_dup
+        FROM assign a LEFT JOIN mx ON mx.id = a.id
+    """
+
+    # hashed-token NB replay (functions/classifier.py): bucket = first
+    # 8 md5 hex digits mod 256; add-1-smoothed log-probs quantized to
+    # the 1e-6 grid ONCE PER TABLE ENTRY; per-doc score = exact BIGINT
+    # sum of quantized entries + quantized prior diff — integer
+    # arithmetic end to end, so nb_logodds_q matches EXACTLY
+    out["nb_classifier_docs"] = """
+        WITH lab AS (SELECT doc_id, text, (lang = 'en')::INT AS y
+                     FROM documents),
+        toks AS (SELECT doc_id, y,
+                        unnest(string_split(trim(text, ' '), ' ')) AS tok
+                 FROM lab WHERE text IS NOT NULL),
+        bt AS (SELECT doc_id, y,
+                      (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 256)::INT
+                          AS b
+               FROM toks),
+        counts AS (SELECT y AS cls, b, count(*) AS n
+                   FROM bt WHERE y IS NOT NULL GROUP BY 1, 2),
+        rown AS (SELECT cls, sum(n) AS rn FROM counts GROUP BY 1),
+        grid AS (SELECT c.cls, g.b
+                 FROM (SELECT 0 AS cls UNION ALL SELECT 1) c,
+                      unnest(generate_series(0, 255)) g(b)),
+        lp AS (SELECT grid.cls, grid.b,
+                      floor(ln((coalesce(counts.n, 0) + 1.0)
+                               / (coalesce(rown.rn, 0) + 256.0))
+                            * 1000000.0 + 0.5)::BIGINT AS lq
+               FROM grid
+               LEFT JOIN counts ON counts.cls = grid.cls
+                               AND counts.b = grid.b
+               LEFT JOIN rown ON rown.cls = grid.cls),
+        dc AS (SELECT y AS cls, count(*) AS n FROM lab
+               WHERE text IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        prior AS (
+            SELECT (SELECT floor(ln(n::DOUBLE /
+                        (SELECT sum(n)::DOUBLE FROM dc)) * 1000000.0
+                        + 0.5)::BIGINT FROM dc WHERE cls = 1)
+                 - (SELECT floor(ln(n::DOUBLE /
+                        (SELECT sum(n)::DOUBLE FROM dc)) * 1000000.0
+                        + 0.5)::BIGINT FROM dc WHERE cls = 0) AS pd),
+        scored AS (SELECT bt.doc_id, sum(l1.lq - l0.lq)::BIGINT AS s
+                   FROM bt
+                   JOIN lp l1 ON l1.cls = 1 AND l1.b = bt.b
+                   JOIN lp l0 ON l0.cls = 0 AND l0.b = bt.b
+                   GROUP BY bt.doc_id)
+        SELECT lab.doc_id,
+               (scored.s + prior.pd)::BIGINT AS nb_logodds_q,
+               (scored.s + prior.pd) > 0 AS nb_pred
+        FROM lab LEFT JOIN scored USING (doc_id) CROSS JOIN prior
+    """
+
+    # concat-and-chunk packing replay (operators/packing.py): md5
+    # shard tag, within-shard prefix token sum, integer chunk
+    # arithmetic — exact end to end
+    out["pack_sequences_docs"] = """
+        WITH b AS (
+            SELECT doc_id AS id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                       % 8)::INT AS shard,
+                   len(string_split(trim(text, ' '), ' '))::BIGINT
+                       AS n_tokens
+            FROM documents),
+        s AS (SELECT id, shard, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY shard ORDER BY id)
+                      - n_tokens)::BIGINT AS start
+              FROM b)
+        SELECT id, shard, n_tokens,
+               (start // 512)::BIGINT AS pack_id,
+               (start % 512)::BIGINT AS offset_in_pack,
+               (start % 512) + n_tokens > 512 AS crosses_boundary
+        FROM s
+    """
+
+    # mixing table replay (operators/packing.py mixing_weights):
+    # exact int64 counts; share/weight are the same single IEEE
+    # expressions (tgt * total / n_tokens, left-assoc) — bit-for-bit,
+    # no rounding step
+    out["mixing_weights_docs"] = """
+        WITH per AS (
+            SELECT lang AS grp, count(*)::BIGINT AS n_docs,
+                   sum(len(string_split(trim(text, ' '), ' '))::BIGINT
+                       )::BIGINT AS n_tokens
+            FROM documents GROUP BY lang),
+        tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per)
+        SELECT grp, n_docs, n_tokens,
+               n_tokens::DOUBLE / t AS share,
+               CASE grp WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                        WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+                        WHEN 'zh' THEN 0.125 ELSE 0.0 END
+                   * t / n_tokens AS weight
+        FROM per CROSS JOIN tot
     """
     return out

@@ -886,3 +886,78 @@ def remove_frequent_lines(
     else:
         kept = F.filter(parts, lambda l: l != "")
     return df.withColumn(out_col, F.concat_ws(sep, kept))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cents,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse
+    centroid, then WITHIN each cluster mark a row as a semantic
+    duplicate iff some cluster member with a SMALLER id has cosine
+    similarity >= ``threshold``. The smallest id of each similar set
+    survives — deterministic, order-free, engine-replayable semantics
+    (a greedy keep-chain would depend on visit order).
+
+    Scale shape (the 100 TB question): clustering bounds the candidate
+    set — the corpus is scanned once to tag centroid ids (map-only,
+    same kernel as the IVF quantizer, similarity.py::ivf_assign), then
+    ONE shuffle on ``centroid_id`` groups each cluster onto one task
+    where a single numpy matmul scores all pairs. Cost is
+    sum(m_i^2·dim) over cluster sizes m_i, not corpus^2: with k
+    centroids ~ corpus/expected_cluster the quadratic term is bounded
+    by design, and a pathological hot cluster is visible in the output
+    (``cluster_size``) and split by raising k. Centroids are passed in
+    (fit via ivf_fit on a sample, or fixed/read for replayability) —
+    fit never scans the full corpus.
+
+    Returns one row per input row: (id, centroid_id, cluster_size,
+    max_prev_cos, is_dup); ``max_prev_cos`` is NULL for each cluster's
+    smallest id. ``is_dup`` compares on the 1e-6-grid-rounded cosine
+    (the shared sign·floor(|x|·10^6+0.5) formula) so the gate decision
+    is identical on any engine that reproduces the cosine double."""
+    import numpy as np
+
+    from ballet_spark.operators.similarity import ivf_assign
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tagged = ivf_assign(base, cents, vec_col="v", out_col="centroid_id")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        # dot-first, one division — the exact float recipe of
+        # similarity.py::cosine_topk, proven hash-identical to DuckDB's
+        # list_cosine_similarity in the embedding_topk oracle
+        S = (M @ M.T) / np.outer(nrm, nrm)
+        # max cosine to any SMALLER-id member: strictly-lower triangle
+        S[np.triu_indices(len(S))] = -np.inf
+        mx = S.max(axis=1)
+        mx[0] = np.nan  # smallest id: no predecessor
+        q = np.sign(mx) * np.floor(np.abs(mx) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "centroid_id": pdf["centroid_id"].astype("int32"),
+                "cluster_size": np.int64(len(pdf)),
+                # nullable Float64: NaN must surface as SQL NULL, not NaN
+                "max_prev_cos": pd.array(
+                    [None if np.isnan(x) else float(x) for x in mx],
+                    dtype="Float64",
+                ),
+                "is_dup": np.where(np.isnan(q), False, q >= threshold),
+            }
+        )
+
+    return tagged.groupBy("centroid_id").applyInPandas(
+        kernel,
+        f"id {id_t}, centroid_id int, cluster_size long, "
+        "max_prev_cos double, is_dup boolean",
+    )

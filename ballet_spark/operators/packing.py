@@ -1,0 +1,126 @@
+"""Sequence packing and corpus mixing — the two bookkeeping operators
+every LLM pretraining pipeline runs between curation and tokenized
+shards.
+
+**Packing** (:func:`pack_sequences`) implements concat-and-chunk: docs
+are concatenated in a deterministic order and cut every ``budget``
+tokens; each doc is assigned to the chunk where it STARTS, with its
+token offset and a crosses-boundary flag. This is the GPT-style packing
+scheme (no padding waste, documents may straddle chunk boundaries) and,
+unlike greedy first-fit bin packing, it is order-free arithmetic over a
+prefix sum — a window function, not a sequential loop — so any engine
+replays it exactly.
+
+Scale shape: one map-side md5 shard assignment (plans/splits.py::
+hash_bucket — deterministic, append-stable), ONE shuffle on the shard
+key, one within-shard sort + running sum. Shards bound sort width
+(pick n_shards ~ corpus_tokens / desired_shard_tokens); the running
+sum over a pathological hot shard has a salted path in
+plans/skew.py::salted_running_agg.
+
+**Mixing** (:func:`mixing_weights`) computes per-group token shares and
+the sampling weight needed to hit a target mixture (the data-mixing
+table of every pretraining run: weight > 1 → upsample/epochs, < 1 →
+downsample). One partial+final aggregation; output is group-cardinality
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ballet_spark.plans.splits import hash_bucket
+
+
+def token_count_col(text_col) -> "F.Column":
+    """Whitespace token count, engine-portable: size of
+    ``split(trim(text), ' ')`` keeping empties — identical to DuckDB's
+    ``len(string_split(trim(text), ' '))``. NULL text → NULL."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(F.trim(col), " ", -1)).cast("long")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign every document a (shard, pack_id, offset_in_pack) under
+    concat-and-chunk packing with a fixed token ``budget`` per pack.
+
+    Within a shard, docs are ordered by id; ``offset_in_pack`` is the
+    doc's start position inside its pack and ``crosses_boundary`` marks
+    docs that straddle into the next pack (a downstream tokenizer
+    either splits them or pads — that policy stays out of the plan).
+    Pass ``n_tokens_col`` to reuse a precomputed token count; otherwise
+    it is derived from ``text_col`` map-side."""
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count_col(text_col)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        hash_bucket(id_col, n_shards).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    out = base.select("id", "shard", "n_tokens", start)
+    return out.select(
+        "id",
+        "shard",
+        "n_tokens",
+        F.expr(f"start DIV {int(budget)}").cast("long").alias("pack_id"),
+        (F.col("start") % F.lit(int(budget))).cast("long").alias("offset_in_pack"),
+        ((F.col("start") % F.lit(int(budget))) + F.col("n_tokens")
+         > F.lit(int(budget))).alias("crosses_boundary"),
+    )
+
+
+def mixing_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus shares and resampling weights for a target
+    mixture. Returns (group, n_docs, n_tokens, share, weight):
+    ``share`` = group tokens / corpus tokens, ``weight`` =
+    target_share / share (the factor a sampler applies to hit the
+    target; epochs-over-the-group for weight > 1). Groups absent from
+    ``target`` get weight 0 — they are dropped from the mixture.
+
+    Exactness: counts are int64; ``share`` and ``weight`` are single
+    IEEE divisions of exact integers (weight = target·total/n_tokens,
+    written as one expression), so any engine reproduces the doubles
+    bit-for-bit."""
+    per = df.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(text_col)).alias("n_tokens"),
+    )
+    # corpus total via a broadcast 1-row cross join, NOT a global
+    # window: a window with no partition key funnels every group row
+    # through one task — harmless for by=lang, a bottleneck for
+    # by=domain (millions of groups)
+    tot = F.broadcast(per.agg(F.sum("n_tokens").alias("_total")))
+    per = per.crossJoin(tot)
+    total = F.col("_total")
+    tgt = F.coalesce(
+        *[
+            F.when(F.col("grp") == k, F.lit(float(v)))
+            for k, v in sorted(target.items())
+        ],
+        F.lit(0.0),
+    )
+    return per.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("share"),
+        (tgt * total / F.col("n_tokens")).alias("weight"),
+    )

@@ -199,6 +199,10 @@ def headline_queries(spark, sf_dir):
         "decontaminate_docs",
         "pii_redaction_docs",
         "remove_frequent_segments_docs",
+        "semantic_dedup_docs",
+        "nb_classifier_docs",
+        "pack_sequences_docs",
+        "mixing_weights_docs",
     ]
     qs = entry.queries()
     out = {}
