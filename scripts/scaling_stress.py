@@ -9,11 +9,14 @@ data^2), which is the property that survives a 100 TB scale-up.
 Round-2 covered MinHash signatures / exact dedup / hash split / TF-IDF;
 round-3 added the skew-split as-of join and connected components
 (VERDICT r2 item 10); round-4 adds the salted running window,
-decontamination, and LM fit+score. Best-of-reps within one session per level: this
+decontamination, LM fit+score, and (late round-4) SemDeDup, the NB
+classifier, and sequence packing. Best-of-reps within one session per level: this
 VM's noisy-neighbor windows swing identical jobs 3-5×, so single
 samples are weather.
 
 Usage: python scripts/scaling_stress.py [--reps 3] [--append]
+       [--only job1,job2]  (subset; the --append table lists only the
+       jobs actually run)
 """
 
 from __future__ import annotations
@@ -123,12 +126,75 @@ def lm_score_job(spark, path: str) -> int:
     return bench.sink(score_char_bigram_lm(pages, lm).select("doc_id", "lm_logp"))
 
 
+def semantic_dedup_job(spark, path: str) -> int:
+    """SemDeDup over corpus-scaled synthetic embeddings (16-dim,
+    JVM-generated from xxhash — deterministic, no Python in the
+    generate path). k SCALES with the corpus (n/3000) so expected
+    cluster size stays constant — the real deployment shape, where the
+    per-cluster quadratic term is bounded by design and total work is
+    linear in n."""
+    import numpy as np
+
+    n = spark.read.parquet(path).count()
+    dims = 16
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), 2000) / 1000.0 - 1.0)
+                for i in range(dims)
+            ]
+        ).alias("embedding"),
+    )
+    from ballet_spark.operators.dedup import semantic_dedup
+
+    k = max(16, n // 3000)
+    cents = np.stack(
+        [np.asarray(r["embedding"]) for r in vecs.limit(k).collect()]
+    )
+    return bench.sink(semantic_dedup(vecs, cents, threshold=0.9))
+
+
+def nb_classifier_job(spark, path: str) -> int:
+    """Hashed-unigram NB fit + corpus scoring (bounded-output fit
+    pass, broadcast microunit table, map-only scoring) — linear by
+    construction; the fit shuffle is O(buckets), not O(corpus)."""
+    from ballet_spark.functions.classifier import fit_nb_tokens, score_nb_tokens
+
+    pages = spark.read.parquet(path).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"),
+        "text",
+        F.pmod(F.xxhash64("url"), F.lit(2)).cast("int").alias("y"),
+    )
+    model = fit_nb_tokens(pages, "y", "text", n_buckets=1024)
+    scored = score_nb_tokens(pages.select("doc_id", "text"), model)
+    return bench.sink(scored.select("doc_id", "nb_logodds_q"))
+
+
+def pack_sequences_job(spark, path: str) -> int:
+    """Concat-and-chunk packing with shard count scaling as corpus/100k
+    so per-shard sort width stays constant — one shuffle + one
+    window, the 100 TB shape."""
+    from ballet_spark.operators.packing import pack_sequences
+
+    pages = spark.read.parquet(path).select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+    )
+    n_shards = max(8, spark.read.parquet(path).count() // 100_000)
+    return bench.sink(
+        pack_sequences(pages, budget=2048, n_shards=n_shards, id_col="doc_id")
+    )
+
+
 JOBS = {
     "asof_join_skew": asof_skew_job,
     "dedup_components": components_job,
     "salted_running_agg": salted_running_job,
     "decontaminate": decontaminate_job,
     "lm_fit_score": lm_score_job,
+    "semantic_dedup": semantic_dedup_job,
+    "nb_fit_score": nb_classifier_job,
+    "pack_sequences": pack_sequences_job,
 }
 
 
@@ -138,6 +204,13 @@ def main() -> None:
     reps = 3
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    jobs = JOBS
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in JOBS]
+        if unknown:
+            raise SystemExit(f"unknown jobs {unknown}; have {sorted(JOBS)}")
+        jobs = {n: JOBS[n] for n in names}
 
     spark = get_spark(app_name="scaling_stress", master="local[32]")
     bench.warmup_workers(spark)
@@ -145,7 +218,7 @@ def main() -> None:
     for level, n_pages in LEVELS.items():
         paths[level] = _webtext(spark, n_pages)
         spark.read.parquet(paths[level]).count()  # warm FS cache
-    results: dict[str, dict[str, float]] = {name: {} for name in JOBS}
+    results: dict[str, dict[str, float]] = {name: {} for name in jobs}
     # INTERLEAVE levels within each rep: this VM's noisy-neighbor
     # windows last minutes, so running all of one level then all of the
     # other lets a single window land entirely on one side and invert
@@ -153,7 +226,7 @@ def main() -> None:
     # both levels equal exposure to any window
     for _ in range(reps):
         for level, path in paths.items():
-            for name, job in JOBS.items():
+            for name, job in jobs.items():
                 t0 = time.perf_counter()
                 job(spark, path)
                 dt = round(time.perf_counter() - t0, 3)
