@@ -1743,6 +1743,59 @@ def mixing_weights_docs(spark, sf_dir):
     return mixing_weights(docs, target, by="lang")
 
 
+def mixing_resample_docs(spark, sf_dir):
+    """Mixing-table materialization (operators/packing.py
+    apply_mixing): the mixing_weights table is joined back broadcast
+    and every doc emits floor(weight) copies plus one
+    Bernoulli(frac(weight)) copy decided by an md5 fraction — the
+    actual resampled pretraining corpus, reproducible on any engine
+    and partitioning (no RNG state). Corpus side is a pure map:
+    broadcast join + explode, zero shuffles. The weight doubles and
+    the u < frac(w) compare are single IEEE expressions over exact
+    ints, so membership replays bit-for-bit."""
+    from ballet_spark.operators.packing import apply_mixing, mixing_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125}
+    wts = mixing_weights(docs, target, by="lang")
+    out = apply_mixing(docs.select("doc_id", "lang"), wts, by="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.col("copy_id").cast("bigint").alias("copy_id"),
+    )
+
+
+def dedup_paragraphs_docs(spark, sf_dir):
+    """Sub-document exact dedup (operators/dedup.py dedup_lines): docs
+    re-segment into 5-word chunks (same deterministic slicing as
+    remove_frequent_segments_docs — the corpus has no newlines), then
+    every repeated chunk corpus-wide keeps only its FIRST occurrence
+    under the total order (doc_id, position) — the Lee-et-al-style
+    exact substring-dedup pass at paragraph granularity. Winner =
+    min(struct(id,pos)) hash agg (map-side partial combine, so
+    boilerplate chunks in 10^6 docs never make a hot reduce key), one
+    winners equi-join, one per-doc reassembly."""
+    from ballet_spark.operators.dedup import dedup_lines
+
+    seg_expr = (
+        "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
+        "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
+        " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",
+        )
+        .selectExpr("doc_id", f"{seg_expr} AS t2")
+    )
+    out = dedup_lines(docs, id_col="doc_id", text_col="t2", out_col="cleaned")
+    return out.select("doc_id", "cleaned", "n_removed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver's CORRECTNESS gate evaluates
     only the FIRST 50 entries.
@@ -1762,15 +1815,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 layout: group (1) = the 19 queries whose r01/r02 verdicts
     predate the round-3 exact-aggregation refactor (17cc57f); group
-    (2) = salted_running_stats + gfssf_select_docs + the four late-r4
+    (2) = salted_running_stats + gfssf_select_docs + the six late-r4
     additions (semantic_dedup, nb_classifier, pack_sequences,
-    mixing_weights), ts_features (fft extension), curation_pipeline
-    (_sround gate), dfs_customer (percap rename); group (3) = the 15
-    round-3 first-timers plus exactly the two flagship fills that fit
-    (q1, asof_join_purchase) — the window holds precisely 50;
-    everything after position 50 is parked (sessionize_30m,
-    rolling_mean_5, forward_fill, window_lag_delta moved there to make
-    room for the four new entries; all four are r03-verified and
+    mixing_weights, mixing_resample, dedup_paragraphs), ts_features
+    (fft extension), curation_pipeline (_sround gate), dfs_customer
+    (percap rename); group (3) = the 15 round-3 first-timers — the
+    window holds precisely 50; everything after position 50 is parked
+    (sessionize_30m, rolling_mean_5, forward_fill, window_lag_delta,
+    then the two flagship fills q1_pricing_summary/asof_join_purchase
+    moved there to make room for the six new entries; all six parked
+    are multiply driver-verified, r03 most recently, and
     unchanged)."""
     return {
         # --- (1) stale driver verdicts: re-verify first ---
@@ -1801,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier_docs": nb_classifier_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "mixing_weights_docs": mixing_weights_docs,
+        "mixing_resample_docs": mixing_resample_docs,
+        "dedup_paragraphs_docs": dedup_paragraphs_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redaction_docs": pii_redaction_docs,
@@ -1824,10 +1880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter_docs": repetition_filter_docs,
         "grouped_apply_normalize": grouped_apply_normalize,
         "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
-        # --- (3b) flagship fills: exactly the 2 slots left of 50 ---
+        # --- (4) multiply verified, unchanged: past the window ---
         "q1_pricing_summary": q1_pricing_summary,
         "asof_join_purchase": asof_join_purchase,
-        # --- (4) multiply verified, unchanged: past the window ---
         "sessionize_30m": sessionize_30m,
         "rolling_mean_5": rolling_mean_5,
         "forward_fill": forward_fill,
@@ -3280,5 +3335,64 @@ def _generated_oracles() -> dict[str, str]:
                         WHEN 'zh' THEN 0.125 ELSE 0.0 END
                    * t / n_tokens AS weight
         FROM per CROSS JOIN tot
+    """
+
+    # apply_mixing replay: same weight expression as mixing_weights,
+    # u = first 13 md5 hex digits / 2^52 (exact in a double on both
+    # engines), n_copies = floor(w) + (u < frac(w)), one output row
+    # per copy via generate_series
+    out["mixing_resample_docs"] = """
+        WITH per AS (
+            SELECT lang AS grp, count(*)::BIGINT AS n_docs,
+                   sum(len(string_split(trim(text, ' '), ' '))::BIGINT
+                       )::BIGINT AS n_tokens
+            FROM documents GROUP BY lang),
+        tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per),
+        wts AS (SELECT grp,
+                       CASE grp WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                                WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+                                WHEN 'zh' THEN 0.125 ELSE 0.0 END
+                           * t / n_tokens AS weight
+                FROM per CROSS JOIN tot),
+        b AS (SELECT d.doc_id, d.lang, w.weight,
+                     ('0x' || substr(md5('mix' || d.doc_id::VARCHAR),
+                                     1, 13))::UBIGINT
+                         / 4503599627370496.0 AS u
+              FROM documents d JOIN wts w ON w.grp = d.lang),
+        c AS (SELECT doc_id, lang,
+                     (floor(weight)::BIGINT
+                      + CASE WHEN u < weight - floor(weight)
+                             THEN 1 ELSE 0 END)::BIGINT AS n_copies
+              FROM b)
+        SELECT doc_id, lang, n_copies,
+               unnest(generate_series(1, n_copies))::BIGINT AS copy_id
+        FROM c WHERE n_copies >= 1
+    """
+
+    # dedup_lines replay on the same 5-word re-segmentation as
+    # remove_frequent_segments_docs; winner per chunk = rn 1 under
+    # ORDER BY (doc_id, i) — identical to min(struct(id, pos))
+    out["dedup_paragraphs_docs"] = """
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS w
+                   FROM documents),
+        seg AS (SELECT doc_id, i,
+                       array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ') AS chunk
+                FROM d, unnest(generate_series(
+                         0, cast(ceil(len(w) / 5.0) as int) - 1)) t(i)),
+        r AS (SELECT doc_id, i, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, i) AS rn
+              FROM seg),
+        agg AS (SELECT doc_id,
+                       string_agg(chunk, chr(10) ORDER BY i)
+                           FILTER (WHERE rn = 1) AS cleaned,
+                       count(*) FILTER (WHERE rn > 1) AS n_removed
+                FROM r GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(agg.cleaned, '') AS cleaned,
+               coalesce(agg.n_removed, 0)::BIGINT AS n_removed
+        FROM d LEFT JOIN agg USING (doc_id)
     """
     return out

@@ -888,6 +888,107 @@ def remove_frequent_lines(
     return df.withColumn(out_col, F.concat_ws(sep, kept))
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide exact line/paragraph dedup keeping the FIRST
+    occurrence — the sub-document exact-dedup pass (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" applies
+    it at the sequence level; C4 applies it to three-sentence spans).
+    Complementary to :func:`remove_frequent_lines`: that strips
+    segments whose document frequency exceeds a threshold from EVERY
+    doc, this keeps exactly ONE occurrence of every repeated segment
+    (including within-document repeats).
+
+    "First" is the minimum of the total order (id, position) — a
+    property of the data, not of scan or partition order, so any
+    engine and any partitioning reproduces the same survivor set.
+    ``id_col`` MUST be unique per row: duplicate ids make (id, pos)
+    ambiguous, so the per-id reassembly merges all same-id rows'
+    surviving segments into one blob and attaches it to EVERY such
+    row (verified by driving webtext ``url`` with multiple warc_ts
+    snapshots: 4 snapshots per url → each cleaned blob emitted 4×).
+    For snapshotted entities pass a composite key, e.g.
+    ``concat(url, '#', warc_ts)``.
+    Returns one row per input row: the input columns with ``out_col``
+    (default: ``text_col`` replaced) rebuilt from kept segments in
+    original order, plus ``n_removed``. Empty segments collapse
+    (split+rejoin is trim-like, same as remove_frequent_lines).
+
+    Scale shape (the 100 TB question): posexplode is map-side; the
+    winner per segment is ``min(struct(id, pos))`` — a HASH AGGREGATE
+    with map-side partial combine, so a boilerplate line occurring in
+    10^8 documents costs one partial row per task, NOT one hot reduce
+    key (the reason this is agg+join rather than a row_number window
+    over the segment — a window cannot partial-aggregate). Winners
+    join back on the segment key (AQE skew-join splits any residual
+    hot segment; the winner side is distinct-segment-sized), then one
+    groupBy(id) reassembles documents. Three shuffles, each linear in
+    token volume; no quadratic term, no driver collect."""
+    import re as _re
+
+    out_col = out_col or text_col
+    for c in ("__id", "__pos", "__seg", "__w", "__keep"):
+        if c in df.columns:
+            raise ValueError(f"dedup_lines reserves column name {c!r}")
+    segs = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), _re.escape(sep))
+        ).alias("__pos", "__seg"),
+    ).filter(F.col("__seg") != "")
+    winners = segs.groupBy("__seg").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
+    )
+    marked = segs.join(winners, "__seg").select(
+        "__id",
+        "__pos",
+        "__seg",
+        (
+            (F.col("__w.__id") == F.col("__id"))
+            & (F.col("__w.__pos") == F.col("__pos"))
+        ).alias("__keep"),
+    )
+    # collect_list drops the NULLs the when() leaves for removed
+    # segments; array_sort orders structs by leading field = position
+    agg = marked.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__seg")),
+                        )
+                    )
+                ),
+                lambda s: s["__seg"],
+            ),
+        ).alias("__cleaned"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("__removed"),
+    )
+    out = df.join(agg, F.col(id_col) == F.col("__id"), "left")
+    sel = []
+    for c in df.columns:
+        if c == out_col:
+            sel.append(F.coalesce(F.col("__cleaned"), F.lit("")).alias(out_col))
+        else:
+            sel.append(F.col(c))
+    if out_col not in df.columns:
+        sel.append(F.coalesce(F.col("__cleaned"), F.lit("")).alias(out_col))
+    sel.append(
+        F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias("n_removed")
+    )
+    return out.select(*sel)
+
+
 def semantic_dedup(
     df: DataFrame,
     cents,

@@ -22,7 +22,11 @@ plans/skew.py::salted_running_agg.
 the sampling weight needed to hit a target mixture (the data-mixing
 table of every pretraining run: weight > 1 → upsample/epochs, < 1 →
 downsample). One partial+final aggregation; output is group-cardinality
-rows.
+rows. :func:`apply_mixing` is its consumer: it materializes the table
+into an actual resampled corpus — floor(weight) deterministic copies
+per row plus one Bernoulli(frac(weight)) copy decided by an md5
+fraction — as a PURE MAP over the corpus (broadcast weights join +
+explode), no shuffle at all.
 """
 
 from __future__ import annotations
@@ -39,6 +43,76 @@ def token_count_col(text_col) -> "F.Column":
     ``len(string_split(trim(text), ' '))``. NULL text → NULL."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.size(F.split(F.trim(col), " ", -1)).cast("long")
+
+
+# 16^13 = 2^52: 13 md5 hex digits fit a double exactly, so the
+# fraction below is the same IEEE value on every engine
+_MD5_FRAC_DEN = float(1 << 52)
+
+
+def hash_fraction(key, salt: str = "") -> "F.Column":
+    """Deterministic u ∈ [0, 1) from md5 of the key's string form: the
+    first 13 hex digits (52 bits, exact in a double) divided by 2^52.
+    Engine-portable — DuckDB replays it as
+    ``('0x' || substr(md5(s), 1, 13))::UBIGINT / 4503599627370496.0`` —
+    and stable under repartitioning, appends and reruns, unlike
+    ``rand()``. NULL keys hash as the empty string (same discipline as
+    :func:`~ballet_spark.plans.splits.hash_bucket`: a sampling
+    expression must cover every row)."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), F.coalesce(col.cast("string"), F.lit(""))))
+    return (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long") / F.lit(_MD5_FRAC_DEN)
+    )
+
+
+def apply_mixing(
+    df: DataFrame,
+    weights: DataFrame,
+    by: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Materialize a :func:`mixing_weights` table into a resampled
+    corpus: every row is emitted ``floor(weight)`` times plus one more
+    iff ``u < weight - floor(weight)``, where u is a deterministic
+    md5 fraction of ``key_col`` (:func:`hash_fraction`). In
+    expectation each group's token mass is scaled by exactly its
+    weight (downsample for weight < 1, integer epochs + fractional
+    Bernoulli epoch for weight > 1), and the realized sample is
+    reproducible on any engine and any partitioning — no sampler
+    state, no RNG stream ordering.
+
+    Groups absent from ``weights`` (or with weight 0) are dropped —
+    the mixture defines the corpus. Output adds ``weight``,
+    ``n_copies`` and ``copy_col`` (1..n_copies) to the input columns;
+    rows with n_copies = 0 disappear.
+
+    Scale shape: broadcast hash join on the group key (the weights
+    table is group-cardinality by construction) + one map-side
+    explode. The corpus is NEVER shuffled — this composes with a
+    downstream :func:`pack_sequences` whose shard shuffle is the first
+    exchange in the whole mix→pack plan."""
+    w = F.col("weight")
+    u = hash_fraction(key_col, salt)
+    n = (
+        F.floor(w).cast("long")
+        + F.when(u < w - F.floor(w), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    joined = df.join(
+        F.broadcast(weights.select(F.col("grp").alias(by), "weight")),
+        on=by,
+        how="inner",
+    )
+    return (
+        joined.withColumn("n_copies", n)
+        .filter(F.col("n_copies") >= 1)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))),
+        )
+    )
 
 
 def pack_sequences(
