@@ -3234,7 +3234,16 @@ def _generated_oracles() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY vec_id
                         ORDER BY d2 ASC, c ASC) = 1),
         mx AS (
-            SELECT b.id, max(list_cosine_similarity(a.v, b.v)) AS m
+            -- zero-norm guard mirrors the kernel's nrm[nrm==0]=1:
+            -- a zero vector has cosine 0.0 with everything (its dot
+            -- product is 0 and the denominator is forced to 1), where
+            -- bare list_cosine_similarity would yield NaN/NULL
+            SELECT b.id,
+                   max(CASE WHEN list_dot_product(a.v, a.v) = 0
+                              OR list_dot_product(b.v, b.v) = 0
+                            THEN 0.0
+                            ELSE list_cosine_similarity(a.v, b.v)
+                       END) AS m
             FROM assign a JOIN assign b
               ON a.centroid_id = b.centroid_id AND a.id < b.id
             GROUP BY b.id)

@@ -932,9 +932,12 @@ def dedup_lines(
     import re as _re
 
     out_col = out_col or text_col
-    for c in ("__id", "__pos", "__seg", "__w", "__keep"):
+    for c in ("__id", "__pos", "__seg", "__w", "__keep",
+              "__cleaned", "__removed", "n_removed"):
         if c in df.columns:
             raise ValueError(f"dedup_lines reserves column name {c!r}")
+    if out_col == "n_removed":
+        raise ValueError("dedup_lines: out_col may not be 'n_removed'")
     segs = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
@@ -1020,7 +1023,14 @@ def semantic_dedup(
     max_prev_cos, is_dup); ``max_prev_cos`` is NULL for each cluster's
     smallest id. ``is_dup`` compares on the 1e-6-grid-rounded cosine
     (the shared sign·floor(|x|·10^6+0.5) formula) so the gate decision
-    is identical on any engine that reproduces the cosine double."""
+    is identical on any engine that reproduces the cosine double.
+
+    Zero-norm embeddings are defined to have cosine 0.0 with every
+    vector (the denominator norm is forced to 1; the numerator dot is
+    0) — never NaN, never a dup. An oracle replaying this must guard
+    its cosine the same way (DuckDB's ``list_cosine_similarity``
+    yields NaN/NULL for zero vectors; see the ``semantic_dedup_docs``
+    oracle's CASE guard in ``__spark_entry__.py``)."""
     import numpy as np
 
     from ballet_spark.operators.similarity import ivf_assign

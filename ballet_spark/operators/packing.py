@@ -94,6 +94,9 @@ def apply_mixing(
     explode. The corpus is NEVER shuffled — this composes with a
     downstream :func:`pack_sequences` whose shard shuffle is the first
     exchange in the whole mix→pack plan."""
+    for c in ("weight", "n_copies", copy_col):
+        if c in df.columns:
+            raise ValueError(f"apply_mixing reserves column name {c!r}")
     w = F.col("weight")
     u = hash_fraction(key_col, salt)
     n = (

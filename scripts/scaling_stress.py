@@ -149,8 +149,15 @@ def semantic_dedup_job(spark, path: str) -> int:
     from ballet_spark.operators.dedup import semantic_dedup
 
     k = max(16, n // 3000)
+    # orderBy before limit: limit() without an ordering is not
+    # deterministic across runs/partitionings, which would weaken
+    # bench run-to-run comparability (vec_id is cheap to sort —
+    # centroids are synthetic xxhash vectors)
     cents = np.stack(
-        [np.asarray(r["embedding"]) for r in vecs.limit(k).collect()]
+        [
+            np.asarray(r["embedding"])
+            for r in vecs.orderBy("vec_id").limit(k).collect()
+        ]
     )
     return bench.sink(semantic_dedup(vecs, cents, threshold=0.9))
 
@@ -177,10 +184,11 @@ def pack_sequences_job(spark, path: str) -> int:
     window, the 100 TB shape."""
     from ballet_spark.operators.packing import pack_sequences
 
-    pages = spark.read.parquet(path).select(
+    raw = spark.read.parquet(path)
+    pages = raw.select(
         F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
     )
-    n_shards = max(8, spark.read.parquet(path).count() // 100_000)
+    n_shards = max(8, raw.count() // 100_000)
     return bench.sink(
         pack_sequences(pages, budget=2048, n_shards=n_shards, id_col="doc_id")
     )

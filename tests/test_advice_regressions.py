@@ -388,3 +388,87 @@ def test_object_dtype_ndarray_key_is_content_based():
     import re as _re
 
     assert not _re.search(r"0x[0-9a-fA-F]{6,}", _value_key(a1))
+
+
+# ---- round-4 ADVICE regressions ----
+
+
+def test_apply_mixing_rejects_reserved_columns(spark):
+    from ballet_spark.operators.packing import apply_mixing, mixing_weights
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "de", "c d")], "doc_id long, lang string, text string"
+    )
+    w = mixing_weights(df, {"en": 0.5, "de": 0.5}, by="lang")
+    for bad in ("weight", "n_copies", "copy_id"):
+        poisoned = df.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match="reserves"):
+            apply_mixing(poisoned, w, by="lang", key_col="doc_id")
+    # custom copy_col collision too
+    with pytest.raises(ValueError, match="reserves"):
+        apply_mixing(df.withColumn("cp", F.lit(1)), w, by="lang",
+                     key_col="doc_id", copy_col="cp")
+    # clean input still works
+    assert apply_mixing(df, w, by="lang", key_col="doc_id").count() >= 0
+
+
+def test_dedup_lines_rejects_output_reserved_columns(spark):
+    from ballet_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    for bad in ("__cleaned", "__removed", "n_removed"):
+        poisoned = df.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match="reserves"):
+            dedup_lines(poisoned)
+    with pytest.raises(ValueError, match="n_removed"):
+        dedup_lines(df, out_col="n_removed")
+    out = dedup_lines(df)
+    assert len(out.columns) == len(set(out.columns))  # no dup names
+
+
+def test_semantic_dedup_zero_norm_embedding(spark):
+    """A zero-norm embedding must score cosine 0.0 (never NaN) and the
+    DuckDB oracle's CASE guard must agree row for row."""
+    import duckdb
+
+    from ballet_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),   # zero vector, same cluster as id 1
+        (3, [1.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0]])  # single centroid: everyone together
+    out = semantic_dedup(df, cents, threshold=0.9).toPandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    z = out[out["id"] == 2].iloc[0]
+    assert z["max_prev_cos"] == 0.0 and not z["is_dup"]
+    assert not out["max_prev_cos"].iloc[1:].isna().any()
+    con = duckdb.connect()
+    oracle = con.execute(
+        """
+        WITH e AS (SELECT * FROM (VALUES
+            (1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.001])
+        ) t(id, v)),
+        mx AS (
+            SELECT b.id,
+                   max(CASE WHEN list_dot_product(a.v, a.v) = 0
+                              OR list_dot_product(b.v, b.v) = 0
+                            THEN 0.0
+                            ELSE list_cosine_similarity(a.v, b.v) END) AS m
+            FROM e a JOIN e b ON a.id < b.id GROUP BY b.id)
+        SELECT e.id,
+               sign(mx.m) * floor(abs(mx.m) * 1000000 + 0.5) / 1000000 AS q
+        FROM e LEFT JOIN mx ON mx.id = e.id ORDER BY e.id
+        """
+    ).fetchall()
+    def grid(x):  # the shared 1e-6 sign/floor rounding
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    got = {int(r["id"]): r["max_prev_cos"] for _, r in out.iterrows()}
+    for oid, oq in oracle:
+        if oq is None:
+            assert pd.isna(got[oid])
+        else:
+            assert grid(got[oid]) == pytest.approx(oq, abs=0)
