@@ -1796,6 +1796,23 @@ def dedup_paragraphs_docs(spark, sf_dir):
     return out.select("doc_id", "cleaned", "n_removed")
 
 
+def exactsubstr_dedup_docs(spark, sf_dir):
+    """ExactSubstr dedup (operators/dedup.py dedup_substrings; Lee et
+    al. 2022): every repeated 5-token WINDOW — at any offset, no line
+    structure assumed — keeps only its first occurrence under the
+    total order (doc_id, pos); a non-first occurrence removes the
+    union of its repeated windows' tokens. Fingerprints are JVM md5
+    over each window slice (map-only); the winner is a min(struct)
+    hash agg with map-side partial combine; the oracle groups on the
+    window STRING itself, so agreement also proves the 128-bit
+    fingerprint route collision-free on this corpus."""
+    from ballet_spark.operators.dedup import dedup_substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_substrings(docs, k=5, out_col="cleaned")
+    return out.select("doc_id", "cleaned", "n_removed_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver's CORRECTNESS gate evaluates
     only the FIRST 50 entries.
@@ -1857,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_weights_docs": mixing_weights_docs,
         "mixing_resample_docs": mixing_resample_docs,
         "dedup_paragraphs_docs": dedup_paragraphs_docs,
+        "exactsubstr_dedup_docs": exactsubstr_dedup_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redaction_docs": pii_redaction_docs,
@@ -3403,5 +3421,37 @@ def _generated_oracles() -> dict[str, str]:
                coalesce(agg.cleaned, '') AS cleaned,
                coalesce(agg.n_removed, 0)::BIGINT AS n_removed
         FROM d LEFT JOIN agg USING (doc_id)
+    """
+
+    # ExactSubstr replay: window-level dedup on the window STRING (the
+    # engine fingerprints with 128-bit md5; string grouping here makes
+    # the oracle collision-free, so a match also certifies the hashes)
+    out["exactsubstr_dedup_docs"] = """
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS w
+                   FROM documents),
+        wins AS (SELECT doc_id, i AS pos,
+                        array_to_string(w[i+1:i+5], ' ') AS win
+                 FROM d, unnest(generate_series(0, len(w) - 5)) t(i)),
+        r AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY win
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins),
+        rem AS (SELECT DISTINCT doc_id, j
+                FROM r, unnest(generate_series(pos, pos + 4)) g(j)
+                WHERE rn > 1),
+        tok AS (SELECT doc_id, i, w[i+1] AS t
+                FROM d, unnest(generate_series(0, len(w) - 1)) g(i)),
+        kept AS (SELECT tok.doc_id,
+                        coalesce(string_agg(t, ' ' ORDER BY i)
+                            FILTER (WHERE rem.j IS NULL), '') AS cleaned,
+                        count(*) FILTER (WHERE rem.j IS NOT NULL) AS nr
+                 FROM tok LEFT JOIN rem
+                   ON rem.doc_id = tok.doc_id AND rem.j = tok.i
+                 GROUP BY tok.doc_id)
+        SELECT d.doc_id, coalesce(kept.cleaned, '') AS cleaned,
+               coalesce(kept.nr, 0)::BIGINT AS n_removed_tokens
+        FROM d LEFT JOIN kept USING (doc_id)
     """
     return out

@@ -1072,3 +1072,156 @@ def semantic_dedup(
         f"id {id_t}, centroid_id int, cluster_size long, "
         "max_prev_cos double, is_dup boolean",
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    span that also occurs EARLIER in the corpus as part of a repeated
+    window of ``k`` whitespace tokens, keeping exactly the first
+    occurrence. Unlike :func:`dedup_lines` (separator-delimited
+    segments) this catches re-wrapped boilerplate — any ≥k-token
+    repeat is found regardless of line structure, which is the paper's
+    actual technique (their suffix-array ExactSubstr with a 50-token
+    threshold; single-node suffix arrays don't distribute, so the
+    distributed equivalent is k-token window fingerprints).
+
+    Semantics: tokenize on single spaces (``split(trim(text), ' ')``
+    dropping empties — the engine-portable tokenization every corpus
+    kernel here shares); every k-token window gets an md5 fingerprint;
+    the window's FIRST occurrence is ``min(struct(id, pos))`` — a
+    property of the data, not of scan order, so any partitioning
+    replays the same survivor set (``id_col`` must be unique, same
+    contract as dedup_lines). Every OTHER occurrence marks its k
+    tokens for removal; a doc's removed set is the UNION of its
+    non-first windows (a repeated span of length L ≥ k yields L-k+1
+    repeated windows whose union is the whole span). Output = input
+    columns with ``out_col`` (default: text_col replaced) rebuilt from
+    kept tokens joined by single spaces, plus ``n_removed_tokens``.
+    Docs with < k tokens pass through unchanged (the paper ignores
+    sub-threshold docs too).
+
+    Scale shape (the 100 TB question): fingerprinting is map-side JVM
+    (one ``transform`` HOF computing md5 over each slice — O(k·n)
+    CPU per doc, zero Python); the hash table is 16-byte binary keys,
+    so the winner aggregation shuffles ~(16B hash + id + pos) per
+    window ≈ a small constant × corpus bytes, with map-side partial
+    combine so a boilerplate window occurring in 10^8 docs costs one
+    partial row per task, NOT a hot reduce key. Winners are filtered
+    to ``count > 1`` BEFORE the join back, so the probe join touches
+    only occurrences of actually-repeated windows (AQE skew-join
+    splits residual hot fingerprints). Removal positions funnel into
+    one groupBy(id) — linear — and the text rebuild is a single
+    Arrow-batched kernel doing an O(n) numpy difference-array per doc.
+    Three linear shuffles total; no quadratic term, no driver collect.
+
+    Exactness: md5 (128-bit) windows collide with probability ~n²/2¹²⁹
+    — at 10^14 windows that is < 10⁻¹⁰ corpus-wide; an exact oracle
+    can group on the window STRING itself and agree (the driver query
+    ``exactsubstr_dedup_docs`` does precisely that in DuckDB)."""
+    import numpy as np
+
+    if int(k) < 2:
+        raise ValueError("dedup_substrings: k must be >= 2")
+    k = int(k)
+    out_col = out_col or text_col
+    for c in ("__toks", "__h", "__pos", "__w", "__rem", "n_removed_tokens"):
+        if c in df.columns:
+            raise ValueError(f"dedup_substrings reserves column name {c!r}")
+    if out_col == "n_removed_tokens":
+        raise ValueError("dedup_substrings: out_col may not be 'n_removed_tokens'")
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " ", -1), lambda x: x != ""
+    )
+    base = df.withColumn("__toks", toks)
+    # one JVM map stage: every k-window's 16-byte fingerprint. The
+    # short-doc guard lives INSIDE the expression (when/otherwise, same
+    # pattern as ngrams_from_tokens): a separate filter can be fused
+    # past the projection, letting sequence() descend for docs with
+    # fewer than k tokens and slice() fail on start 0.
+    hashes = F.when(
+        F.size("__toks") >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+            lambda i: F.unhex(
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i + F.lit(1), k))
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
+    wins = base.select(
+        F.col(id_col).alias("__id"), hashes.alias("__hs")
+    ).select("__id", F.posexplode("__hs").alias("__pos", "__h"))
+    winners = (
+        wins.groupBy("__h")
+        .agg(
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .where(F.col("__cnt") > 1)
+        .select("__h", "__w")
+    )
+    # inner join: unique windows never match, so only occurrences of
+    # repeated fingerprints flow onward
+    rems = (
+        wins.join(winners, "__h")
+        .where(
+            (F.col("__w.__id") != F.col("__id"))
+            | (F.col("__w.__pos") != F.col("__pos"))
+        )
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__rem"))
+    )
+    joined = base.join(rems, F.col(id_col) == rems["__id"], "left").drop("__id")
+
+    def rebuild(it):
+        for pdf in it:
+            cleaned, removed = [], []
+            for tk, rem in zip(pdf["__toks"], pdf["__rem"]):
+                if tk is None or len(tk) == 0:
+                    cleaned.append("")
+                    removed.append(0)
+                    continue
+                n = len(tk)
+                if rem is None or len(rem) == 0:
+                    cleaned.append(" ".join(tk))
+                    removed.append(0)
+                    continue
+                pos = np.asarray(rem, dtype=np.int64)
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, pos, 1)
+                np.add.at(diff, np.minimum(pos + k, n), -1)
+                cov = np.cumsum(diff)[:n] > 0
+                arr = np.asarray(tk, dtype=object)
+                cleaned.append(" ".join(arr[~cov]))
+                removed.append(int(cov.sum()))
+            out = pdf.drop(columns=["__toks", "__rem"])
+            out["__cleaned"] = cleaned
+            out["__nrem"] = np.asarray(removed, dtype=np.int64)
+            yield out
+
+    schema_parts = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ]
+    schema = ", ".join(schema_parts + ["__cleaned string", "__nrem long"])
+    rebuilt = joined.select(*df.columns, "__toks", "__rem").mapInPandas(
+        rebuild, schema
+    )
+    sel = []
+    for c in df.columns:
+        if c == out_col:
+            sel.append(F.col("__cleaned").alias(out_col))
+        else:
+            sel.append(F.col(c))
+    if out_col not in df.columns:
+        sel.append(F.col("__cleaned").alias(out_col))
+    sel.append(F.col("__nrem").alias("n_removed_tokens"))
+    return rebuilt.select(*sel)

@@ -5,7 +5,13 @@ Default mode: runs the headline suite at ``$SPARK_GRAFT_SF_DIR``
 prints ONE JSON line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...,
+     "bands": {...per-query best/worst/reps...}}
+
+Every recorded number is SELF-PINNED: best-of-5 draws per query (up
+to 7 when the spread exceeds 2x), with the full draw band in the
+artifact — the official record must not depend on VM weather (round 4
+recorded a 4x suite-wide noise window on unchanged code).
 
 ``--scaling`` mode: runs the identical feature-backfill job at
 local[8] and local[32] on the same pre-generated webtext parquet and
@@ -205,28 +211,35 @@ def headline_queries(spark, sf_dir):
         "mixing_weights_docs",
     ]
     qs = entry.queries()
-    out = {}
-    # best of 3: this sandbox VM has noisy-neighbor windows where
-    # identical jobs run 5-25x slower (measured: the same minhash
-    # job 5s vs 127s minutes apart with ZERO GC time) — a single
-    # sample is weather, the min of three is the engine. The two
-    # self-join-heavy queries get 5 reps: round 2 recorded
-    # embedding_neardups' worst draw (7.2s vs 1.65s best for the
-    # identical plan, a 4.4× same-plan spread), so they need more
-    # draws for a stable minimum.
-    extra_reps = {"embedding_neardups": 5, "dedup_components": 5}
+    out, bands = {}, {}
+    # SELF-PINNING (VERDICT r4 ask #1): the recorded artifact must BE
+    # the pin, not a weather draw. This sandbox VM has noisy-neighbor
+    # windows where identical plans run 5-25x slower (measured: the
+    # same minhash job 5s vs 127s minutes apart with ZERO GC time;
+    # round 4's official artifact caught a 4x suite-wide window that
+    # the builder's same-day best-of-3 side tables refuted). Every
+    # query takes BEST-OF-5, plus up to 2 extra draws when the 5-draw
+    # spread is still > 2x (a deep noise window needs more samples for
+    # a stable minimum). The full draw band is recorded alongside the
+    # best so a reader can see the weather the pin was taken in.
     for n in names:
-        best = None
-        for _ in range(extra_reps.get(n, 3)):
+        draws = []
+        while len(draws) < 5 or (
+            len(draws) < 7 and max(draws) > 2.0 * min(draws)
+        ):
             t0 = time.perf_counter()
             sink(qs[n](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            draws.append(time.perf_counter() - t0)
             # drop caches (e.g. minhash's persisted band table) so later
             # queries aren't squeezed by accumulated executor memory
             spark.catalog.clearCache()
-        out[n] = round(best, 3)
-    return out
+        out[n] = round(min(draws), 3)
+        bands[n] = {
+            "best": round(min(draws), 3),
+            "worst": round(max(draws), 3),
+            "reps": len(draws),
+        }
+    return out, bands
 
 
 def warmup_workers(spark):
@@ -263,28 +276,41 @@ def run_default():
     warmup_workers(spark)
     timings = {}
 
-    n_docs, best = 0, None
+    bands = {}
+
     # best of 5 (VERDICT r3 ask #3): these two are the HEADLINE
     # numbers, and r03 recorded webtext_asof_join's 2.66s noise draw
     # against an identical plan whose best sits at 0.8-1.1s — the two
     # webtext jobs get the same best-of-5 pinning that stabilized
     # embedding_neardups in round 3.
+    n_docs = 0
+    draws = []
     for _ in range(5):
         t0 = time.perf_counter()
         n_docs = backfill(spark, path, "/tmp/ballet_spark_matrix.parquet")
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    timings["webtext_backfill"] = round(best, 3)
+        draws.append(time.perf_counter() - t0)
+    timings["webtext_backfill"] = round(min(draws), 3)
+    bands["webtext_backfill"] = {
+        "best": round(min(draws), 3),
+        "worst": round(max(draws), 3),
+        "reps": len(draws),
+    }
 
-    best = None
+    draws = []
     for _ in range(5):
         t0 = time.perf_counter()
         asof_bench(spark, path)
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    timings["webtext_asof_join"] = round(best, 3)
+        draws.append(time.perf_counter() - t0)
+    timings["webtext_asof_join"] = round(min(draws), 3)
+    bands["webtext_asof_join"] = {
+        "best": round(min(draws), 3),
+        "worst": round(max(draws), 3),
+        "reps": len(draws),
+    }
 
-    timings.update(headline_queries(spark, sf_dir))
+    q_timings, q_bands = headline_queries(spark, sf_dir)
+    timings.update(q_timings)
+    bands.update(q_bands)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["webtext_backfill"], 1)
@@ -298,6 +324,10 @@ def run_default():
                 "sf": sf_dir,
                 "backfill_docs": n_docs,
                 "backfill_docs_per_sec": docs_per_sec,
+                "pinning": "best-of-5 per query (up to 7 when the "
+                "draw spread exceeds 2x); 'bands' records every "
+                "query's best/worst draw and rep count",
+                "bands": bands,
             }
         )
     )
