@@ -1269,6 +1269,91 @@ def curation_pipeline(spark, sf_dir):
     )
 
 
+def curation_pipeline_v2(spark, sf_dir):
+    """End-to-end curation composing the round-4/5 corpus surface —
+    the composition a real pretraining pipeline actually runs, every
+    stage the shipped operator: (1) char-bigram LM perplexity gate
+    (functions/lm.py; fit on the train corpus, keep lm_logp ≥ −1.78 on
+    the shared 1e-6 grid), (2) NB label-consistency gate
+    (functions/classifier.py; fit on the LM survivors with y=lang-is-en,
+    keep docs whose integer-sign prediction agrees with their lang
+    metadata — the mislabeled-data scrub), (3) sub-document exact
+    dedup over 5-word chunks (operators/dedup.py dedup_lines), (4)
+    benchmark decontamination of the CLEANED text against the held-out
+    eval slice (doc_id % 10 == 0; 8-word-gram overlap), (5) corpus
+    mixing to a fixed language target (mixing_weights + apply_mixing's
+    deterministic 52-bit md5 Bernoulli), (6) hot-shard-salted sequence
+    packing over composite (doc_id#copy_id) keys. Output = one row per
+    packed doc-copy. Every gate decision is integer or grid-rounded
+    arithmetic, so ONE SQL oracle replays the entire chain exactly."""
+    from ballet_spark.functions.classifier import fit_nb_tokens, score_nb_tokens
+    from ballet_spark.functions.lm import fit_char_bigram_lm, score_char_bigram_lm
+    from ballet_spark.operators.dedup import decontaminate, dedup_lines
+    from ballet_spark.operators.packing import (
+        apply_mixing,
+        mixing_weights,
+        pack_sequences,
+    )
+
+    all_docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.length("text") > 0)
+    )
+    eval_docs = all_docs.filter(F.col("doc_id") % 10 == 0)
+    train = all_docs.filter(F.col("doc_id") % 10 != 0)
+
+    # 1. LM perplexity gate
+    lm = fit_char_bigram_lm(train, "text")
+    scored = score_char_bigram_lm(train, lm, "text")
+    g1 = scored.filter(_sround(F.col("lm_logp"), 6) >= -1.78).select(
+        "doc_id", "lang", "text"
+    )
+
+    # 2. NB label-consistency gate (integer sign test, engine-exact)
+    labeled = g1.withColumn("y", (F.col("lang") == "en").cast("int"))
+    model = fit_nb_tokens(labeled, "y", "text", n_buckets=256)
+    nb = score_nb_tokens(g1, model, "text")
+    g2 = nb.filter(
+        F.col("nb_pred") == (F.col("lang") == "en")
+    ).select("doc_id", "lang", "text")
+
+    # 3. sub-document exact dedup on deterministic 5-word chunks
+    seg_expr = (
+        "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
+        "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
+        " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
+    )
+    seg = g2.selectExpr(
+        "doc_id",
+        "lang",
+        "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",
+    ).selectExpr("doc_id", "lang", f"{seg_expr} AS t2")
+    cleaned = dedup_lines(seg, id_col="doc_id", text_col="t2", out_col="ct")
+
+    # 4. decontaminate the cleaned text vs the eval slice
+    dec = decontaminate(
+        cleaned.select("doc_id", "lang", F.col("ct").alias("text")),
+        eval_docs.select("doc_id", "text"),
+        n=8,
+    )
+    g4 = dec.filter(~F.col("contaminated")).select("doc_id", "lang", "text")
+
+    # 5. mix to a fixed language target
+    target = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125}
+    wts = mixing_weights(g4, target, by="lang")
+    mixed = apply_mixing(g4, wts, by="lang", key_col="doc_id")
+
+    # 6. salted packing over composite doc#copy keys
+    packed_in = mixed.select(
+        F.concat_ws("#", F.col("doc_id"), F.col("copy_id")).alias("pid"),
+        "text",
+    )
+    return pack_sequences(
+        packed_in, budget=512, n_shards=4, id_col="pid", salt_chunks=4
+    )
+
+
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5-style six-table join: revenue by nation for one
     region/year where customer and supplier share a nation. The scale
@@ -1729,6 +1814,21 @@ def pack_sequences_docs(spark, sf_dir):
     return pack_sequences(docs, budget=512, n_shards=8)
 
 
+def pack_sequences_salted_docs(spark, sf_dir):
+    """Hot-shard-salted sequence packing (operators/packing.py): the
+    within-shard prefix sum runs two-phase — bounded local windows per
+    (shard, salt) chunk plus a broadcast carry of exclusive salt-chunk
+    totals — so no single task ever sorts a whole shard (the 100 TB
+    bottleneck of plain packing). Doc order within a shard is the
+    deterministic (md5-salt, id); integer sums are associative, so the
+    oracle replays the SAME order with one plain window and must match
+    every start offset exactly."""
+    from ballet_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, n_shards=4, salt_chunks=4)
+
+
 def mixing_weights_docs(spark, sf_dir):
     """Corpus mixing table (operators/packing.py mixing_weights):
     per-language token shares and the resampling weight to hit a fixed
@@ -1871,10 +1971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_docs": semantic_dedup_docs,
         "nb_classifier_docs": nb_classifier_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "pack_sequences_salted_docs": pack_sequences_salted_docs,
         "mixing_weights_docs": mixing_weights_docs,
         "mixing_resample_docs": mixing_resample_docs,
         "dedup_paragraphs_docs": dedup_paragraphs_docs,
         "exactsubstr_dedup_docs": exactsubstr_dedup_docs,
+        "curation_pipeline_v2": curation_pipeline_v2,
         "lm_perplexity_docs": lm_perplexity_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redaction_docs": pii_redaction_docs,
@@ -3344,6 +3446,31 @@ def _generated_oracles() -> dict[str, str]:
         FROM s
     """
 
+    # salted-packing replay: ONE window over the same deterministic
+    # (salt, id) order proves the engine's two-phase local+carry plan
+    # exact (integer sums are associative)
+    out["pack_sequences_salted_docs"] = """
+        WITH b AS (
+            SELECT doc_id AS id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                       % 4)::INT AS shard,
+                   (('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 8)
+                       )::UBIGINT % 4)::INT AS salt,
+                   len(string_split(trim(text, ' '), ' '))::BIGINT
+                       AS n_tokens
+            FROM documents),
+        s AS (SELECT id, shard, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY shard
+                          ORDER BY salt, id)
+                      - n_tokens)::BIGINT AS start
+              FROM b)
+        SELECT id, shard, n_tokens,
+               (start // 512)::BIGINT AS pack_id,
+               (start % 512)::BIGINT AS offset_in_pack,
+               (start % 512) + n_tokens > 512 AS crosses_boundary
+        FROM s
+    """
+
     # mixing table replay (operators/packing.py mixing_weights):
     # exact int64 counts; share/weight are the same single IEEE
     # expressions (tgt * total / n_tokens, left-assoc) — bit-for-bit,
@@ -3453,5 +3580,168 @@ def _generated_oracles() -> dict[str, str]:
         SELECT d.doc_id, coalesce(kept.cleaned, '') AS cleaned,
                coalesce(kept.nr, 0)::BIGINT AS n_removed_tokens
         FROM d LEFT JOIN kept USING (doc_id)
+    """
+
+    # curation pipeline v2: the full LM→NB→dedup→decontaminate→mix→
+    # pack chain replayed as one SQL — each block is the (already
+    # individually driver-green) per-operator oracle, re-rooted on the
+    # previous stage's survivor CTE
+    out["curation_pipeline_v2"] = f"""
+        WITH all0 AS (SELECT doc_id, lang, text FROM documents
+                      WHERE length(text) > 0),
+        evald AS (SELECT doc_id, text FROM all0 WHERE doc_id % 10 = 0),
+        train0 AS (SELECT * FROM all0 WHERE doc_id % 10 <> 0),
+        -- (1) char-bigram LM fit on train0 + perplexity gate
+        chars AS (
+            SELECT doc_id, i,
+                   CASE WHEN unicode(substr(text, i, 1)) < 128
+                        THEN unicode(substr(text, i, 1)) ELSE 128 END AS cur,
+                   CASE WHEN i = 1 THEN 129
+                        ELSE CASE WHEN unicode(substr(text, i - 1, 1)) < 128
+                                  THEN unicode(substr(text, i - 1, 1))
+                                  ELSE 128 END END AS prev
+            FROM train0, unnest(generate_series(1, length(text))) AS t(i)),
+        lmc AS (SELECT prev, cur, count(*) AS n
+                FROM chars GROUP BY prev, cur),
+        lmr AS (SELECT prev, sum(n) AS rn FROM lmc GROUP BY prev),
+        lmq AS (
+            SELECT c.prev, c.cur,
+                   floor(ln((coalesce(lmc.n, 0) + 1.0)
+                            / (coalesce(lmr.rn, 0) + 129.0))
+                         * 1000000.0 + 0.5)::BIGINT AS lq
+            FROM (SELECT p.i AS prev, q.i AS cur
+                  FROM unnest(generate_series(0, 129)) p(i),
+                       unnest(generate_series(0, 128)) q(i)) c
+            LEFT JOIN lmc ON lmc.prev = c.prev AND lmc.cur = c.cur
+            LEFT JOIN lmr ON lmr.prev = c.prev),
+        lms AS (SELECT chars.doc_id,
+                       sum(lq)::BIGINT AS total, count(*) AS nc
+                FROM chars JOIN lmq
+                  ON lmq.prev = chars.prev AND lmq.cur = chars.cur
+                GROUP BY chars.doc_id),
+        g1 AS (SELECT t.* FROM train0 t JOIN lms USING (doc_id)
+               WHERE {sr('lms.total::DOUBLE / 1000000.0 / lms.nc', 6)}
+                     >= -1.78),
+        -- (2) hashed-unigram NB fit on g1 + label-consistency gate
+        lab AS (SELECT doc_id, lang, text, (lang = 'en')::INT AS y FROM g1),
+        ntk AS (SELECT doc_id, y,
+                       unnest(string_split(trim(text, ' '), ' ')) AS tok
+                FROM lab WHERE text IS NOT NULL),
+        nbt AS (SELECT doc_id, y,
+                       (('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                           % 256)::INT AS b
+                FROM ntk),
+        nbc AS (SELECT y AS cls, b, count(*) AS n
+                FROM nbt WHERE y IS NOT NULL GROUP BY 1, 2),
+        nbr AS (SELECT cls, sum(n) AS rn FROM nbc GROUP BY 1),
+        nbg AS (SELECT c.cls, g.b
+                FROM (SELECT 0 AS cls UNION ALL SELECT 1) c,
+                     unnest(generate_series(0, 255)) g(b)),
+        nbl AS (SELECT nbg.cls, nbg.b,
+                       floor(ln((coalesce(nbc.n, 0) + 1.0)
+                                / (coalesce(nbr.rn, 0) + 256.0))
+                             * 1000000.0 + 0.5)::BIGINT AS lq
+                FROM nbg
+                LEFT JOIN nbc ON nbc.cls = nbg.cls AND nbc.b = nbg.b
+                LEFT JOIN nbr ON nbr.cls = nbg.cls),
+        nbd AS (SELECT y AS cls, count(*) AS n FROM lab
+                WHERE text IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        nbp AS (
+            SELECT (SELECT floor(ln(n::DOUBLE /
+                        (SELECT sum(n)::DOUBLE FROM nbd)) * 1000000.0
+                        + 0.5)::BIGINT FROM nbd WHERE cls = 1)
+                 - (SELECT floor(ln(n::DOUBLE /
+                        (SELECT sum(n)::DOUBLE FROM nbd)) * 1000000.0
+                        + 0.5)::BIGINT FROM nbd WHERE cls = 0) AS pd),
+        nbs AS (SELECT nbt.doc_id, sum(l1.lq - l0.lq)::BIGINT AS s
+                FROM nbt
+                JOIN nbl l1 ON l1.cls = 1 AND l1.b = nbt.b
+                JOIN nbl l0 ON l0.cls = 0 AND l0.b = nbt.b
+                GROUP BY nbt.doc_id),
+        g2 AS (SELECT lab.doc_id, lab.lang, lab.text
+               FROM lab JOIN nbs USING (doc_id) CROSS JOIN nbp
+               WHERE ((nbs.s + nbp.pd) > 0) = (lab.lang = 'en')),
+        -- (3) sub-document exact dedup on 5-word chunks
+        dw AS (SELECT doc_id, lang,
+                      list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '') AS w
+               FROM g2),
+        seg AS (SELECT doc_id, i,
+                       array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ')
+                           AS chunk
+                FROM dw, unnest(generate_series(
+                         0, cast(ceil(len(w) / 5.0) as int) - 1)) t(i)),
+        sr3 AS (SELECT doc_id, i, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, i) AS rn
+                FROM seg),
+        agg3 AS (SELECT doc_id,
+                        string_agg(chunk, chr(10) ORDER BY i)
+                            FILTER (WHERE rn = 1) AS ct
+                 FROM sr3 GROUP BY doc_id),
+        g3 AS (SELECT dw.doc_id, dw.lang,
+                      coalesce(agg3.ct, '') AS text
+               FROM dw LEFT JOIN agg3 USING (doc_id)),
+        -- (4) 8-gram decontamination of the cleaned text vs evald
+        d4 AS (SELECT doc_id, lang, text,
+                      string_split_regex(trim(text), '\\s+') AS w
+               FROM g3),
+        g4g AS (SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+7], ' ') AS g
+                FROM d4, unnest(generate_series(1, len(w) - 7)) t(i)),
+        bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+               FROM evald),
+        bgr AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+                FROM bw, unnest(generate_series(1, len(w) - 7)) t(i)),
+        cont AS (SELECT DISTINCT g4g.doc_id
+                 FROM g4g JOIN bgr USING (g)),
+        g4 AS (SELECT d4.doc_id, d4.lang, d4.text FROM d4
+               WHERE d4.doc_id NOT IN (SELECT doc_id FROM cont)),
+        -- (5) mixing to the fixed language target
+        per AS (SELECT lang AS grp, count(*)::BIGINT AS n_docs,
+                       sum(len(string_split(trim(text, ' '), ' '))::BIGINT
+                           )::BIGINT AS n_tokens
+                FROM g4 GROUP BY lang),
+        tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per),
+        wts AS (SELECT grp,
+                       CASE grp WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                                WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+                                WHEN 'zh' THEN 0.125 ELSE 0.0 END
+                           * t / n_tokens AS weight
+                FROM per CROSS JOIN tot),
+        mb AS (SELECT g4.doc_id, g4.lang, g4.text, w.weight,
+                      ('0x' || substr(md5('mix' || g4.doc_id::VARCHAR),
+                                      1, 13))::UBIGINT
+                          / 4503599627370496.0 AS u
+               FROM g4 JOIN wts w ON w.grp = g4.lang),
+        mc AS (SELECT doc_id, text,
+                      (floor(weight)::BIGINT
+                       + CASE WHEN u < weight - floor(weight)
+                              THEN 1 ELSE 0 END)::BIGINT AS n_copies
+               FROM mb),
+        mixed AS (SELECT doc_id::VARCHAR || '#' ||
+                         unnest(generate_series(1, n_copies))::VARCHAR
+                             AS id,
+                         text
+                  FROM mc WHERE n_copies >= 1),
+        -- (6) salted packing over the composite keys
+        pb AS (SELECT id,
+                      (('0x' || substr(md5(id), 1, 8))::UBIGINT
+                          % 4)::INT AS shard,
+                      (('0x' || substr(md5('pack' || id), 1, 8))::UBIGINT
+                          % 4)::INT AS salt,
+                      len(string_split(trim(text, ' '), ' '))::BIGINT
+                          AS n_tokens
+               FROM mixed),
+        ps AS (SELECT id, shard, n_tokens,
+                      (sum(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY salt, id)
+                       - n_tokens)::BIGINT AS start
+               FROM pb)
+        SELECT id, shard, n_tokens,
+               (start // 512)::BIGINT AS pack_id,
+               (start % 512)::BIGINT AS offset_in_pack,
+               (start % 512) + n_tokens > 512 AS crosses_boundary
+        FROM ps
     """
     return out

@@ -998,6 +998,7 @@ def semantic_dedup(
     threshold: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest coarse
@@ -1030,7 +1031,13 @@ def semantic_dedup(
     0) — never NaN, never a dup. An oracle replaying this must guard
     its cosine the same way (DuckDB's ``list_cosine_similarity``
     yields NaN/NULL for zero vectors; see the ``semantic_dedup_docs``
-    oracle's CASE guard in ``__spark_entry__.py``)."""
+    oracle's CASE guard in ``__spark_entry__.py``).
+
+    ``max_cluster`` is the hot-cluster guard: when set, a cluster
+    exceeding that many members fails FAST with a clear error instead
+    of silently burning hours in an m²·dim matmul — the fix is always
+    more centroids (size k with :func:`semdedup_auto_k` so expected
+    cluster size stays constant as the corpus grows)."""
     import numpy as np
 
     from ballet_spark.operators.similarity import ivf_assign
@@ -1040,6 +1047,14 @@ def semantic_dedup(
     tagged = ivf_assign(base, cents, vec_col="v", out_col="centroid_id")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_cluster is not None and len(pdf) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster "
+                f"{int(pdf['centroid_id'].iloc[0])} has {len(pdf)} members"
+                f" > max_cluster={max_cluster}; raise k (use "
+                "semdedup_auto_k) so the per-cluster quadratic term "
+                "stays bounded"
+            )
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
         M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(M, axis=1)
@@ -1225,3 +1240,20 @@ def dedup_substrings(
         sel.append(F.col("__cleaned").alias(out_col))
     sel.append(F.col("__nrem").alias("n_removed_tokens"))
     return rebuilt.select(*sel)
+
+
+def semdedup_auto_k(n_docs: int, expected_cluster: int = 4096) -> int:
+    """Centroid count for :func:`semantic_dedup` that keeps the
+    per-cluster quadratic term bounded as the corpus grows: k =
+    ceil(n / expected_cluster), floored at 16. SemDeDup's cost is
+    Σ mᵢ²·dim over cluster sizes mᵢ; with k ∝ n the expected cluster
+    size stays constant, so total work is ~n·expected_cluster·dim —
+    LINEAR in the corpus. Holding k fixed while the corpus grows puts
+    every new doc into the same k clusters and the m² term dominates
+    (the round-4 stress measured exactly that anti-pattern at fixed
+    k=16: 227s at 809k docs vs linear when k scales)."""
+    if n_docs < 0:
+        raise ValueError("n_docs must be >= 0")
+    if expected_cluster < 1:
+        raise ValueError("expected_cluster must be >= 1")
+    return max(16, -(-int(n_docs) // int(expected_cluster)))

@@ -121,10 +121,12 @@ def apply_mixing(
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_tokens_col: str | None = None,
+    tokens_per_shard: int = 1_000_000_000,
+    salt_chunks: int | None = None,
 ) -> DataFrame:
     """Assign every document a (shard, pack_id, offset_in_pack) under
     concat-and-chunk packing with a fixed token ``budget`` per pack.
@@ -134,20 +136,86 @@ def pack_sequences(
     docs that straddle into the next pack (a downstream tokenizer
     either splits them or pads — that policy stays out of the plan).
     Pass ``n_tokens_col`` to reuse a precomputed token count; otherwise
-    it is derived from ``text_col`` map-side."""
+    it is derived from ``text_col`` map-side.
+
+    **Auto-sharding**: pass ``n_shards=None`` to size the shard count
+    from the corpus itself — one map-side partial-aggregated token
+    count, then ``ceil(total / tokens_per_shard)`` (default 10^9
+    tokens/shard, so a 10^14-token corpus gets ~10^5 shards and every
+    within-shard sort stays a bounded task). The count pass is linear
+    and shuffles one row per task; shard assignment stays the same
+    md5 bucket, so outputs are deterministic given the resolved count.
+
+    **Hot-shard salting** (``salt_chunks >= 2``): the within-shard
+    prefix sum is the scale bottleneck — a window over one shard is
+    ONE task's sort, and at 10^9 tokens/shard that task serializes the
+    job. With salting, the doc order within a shard becomes
+    ``(salt, id)`` where ``salt = md5-bucket(id) ∈ [0, salt_chunks)``
+    — still a pure property of the data, deterministic and
+    engine-replayable — and the prefix sum runs two-phase exactly like
+    :func:`ballet_spark.plans.skew.salted_running_agg`: (1) local
+    prefix sums within ``(shard, salt)`` windows, each task bounded by
+    one salt chunk; (2) per-(shard, salt) token totals — a partial
+    hash agg, tiny — take an exclusive prefix scan over salt within
+    shard and broadcast-join back as carry-in offsets. Integer sums
+    are associative, so the two-phase result equals a single window
+    over ``(salt, id)`` row for row (parity-tested at multiple chunk
+    counts). Packs still span salt boundaries within a shard — the
+    carry preserves pack continuity; salting changes only the plan and
+    the (documented) doc order, never pack arithmetic.
+    ``salt_chunks=None`` (default) keeps the original ``id``-ordered
+    single-window semantics bit-for-bit."""
     n_tok = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
         else token_count_col(text_col)
     )
+    if n_shards is None:
+        if tokens_per_shard < 1:
+            raise ValueError("tokens_per_shard must be >= 1")
+        total = df.select(F.sum(n_tok).alias("t")).first()["t"] or 0
+        n_shards = max(1, -(-int(total) // int(tokens_per_shard)))
     base = df.select(
         F.col(id_col).alias("id"),
         hash_bucket(id_col, n_shards).alias("shard"),
         n_tok.alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("id")
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
-    out = base.select("id", "shard", "n_tokens", start)
+    if salt_chunks is not None and int(salt_chunks) >= 2:
+        sc = int(salt_chunks)
+        base = base.withColumn(
+            "__salt", hash_bucket(F.col("id"), sc, salt="pack")
+        )
+        local_w = Window.partitionBy("shard", "__salt").orderBy("id")
+        local = base.withColumn(
+            "__local", F.sum("n_tokens").over(local_w) - F.col("n_tokens")
+        )
+        totals = base.groupBy("shard", "__salt").agg(
+            F.sum("n_tokens").alias("__t")
+        )
+        carry_w = (
+            Window.partitionBy("shard")
+            .orderBy("__salt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = totals.select(
+            "shard",
+            "__salt",
+            F.coalesce(F.sum("__t").over(carry_w), F.lit(0)).alias("__c"),
+        )
+        out = local.join(F.broadcast(carry), ["shard", "__salt"]).select(
+            "id",
+            "shard",
+            "n_tokens",
+            (F.col("__c") + F.col("__local")).alias("start"),
+        )
+    else:
+        w = Window.partitionBy("shard").orderBy("id")
+        out = base.select(
+            "id",
+            "shard",
+            "n_tokens",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+        )
     return out.select(
         "id",
         "shard",

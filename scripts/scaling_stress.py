@@ -146,9 +146,9 @@ def semantic_dedup_job(spark, path: str) -> int:
             ]
         ).alias("embedding"),
     )
-    from ballet_spark.operators.dedup import semantic_dedup
+    from ballet_spark.operators.dedup import semantic_dedup, semdedup_auto_k
 
-    k = max(16, n // 3000)
+    k = semdedup_auto_k(n, expected_cluster=3000)
     # orderBy before limit: limit() without an ordering is not
     # deterministic across runs/partitionings, which would weaken
     # bench run-to-run comparability (vec_id is cheap to sort —
@@ -179,18 +179,27 @@ def nb_classifier_job(spark, path: str) -> int:
 
 
 def pack_sequences_job(spark, path: str) -> int:
-    """Concat-and-chunk packing with shard count scaling as corpus/100k
-    so per-shard sort width stays constant — one shuffle + one
-    window, the 100 TB shape."""
+    """Concat-and-chunk packing, full 100 TB shape: AUTO-SIZED shards
+    from the corpus's own token volume (pack_sequences n_shards=None)
+    plus hot-shard SALTING — the within-shard prefix sum runs
+    two-phase (bounded local windows + broadcast carry), so no task
+    ever sorts a whole shard. tokens_per_shard is scaled down to the
+    stress corpus so the auto-shard arithmetic is actually exercised
+    (at 10^9 the whole stress corpus would resolve to one shard)."""
     from ballet_spark.operators.packing import pack_sequences
 
-    raw = spark.read.parquet(path)
-    pages = raw.select(
+    pages = spark.read.parquet(path).select(
         F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
     )
-    n_shards = max(8, raw.count() // 100_000)
     return bench.sink(
-        pack_sequences(pages, budget=2048, n_shards=n_shards, id_col="doc_id")
+        pack_sequences(
+            pages,
+            budget=2048,
+            n_shards=None,
+            id_col="doc_id",
+            tokens_per_shard=20_000_000,
+            salt_chunks=32,
+        )
     )
 
 
@@ -257,7 +266,7 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
                 f"\n## Operator linear-scaling stress "
-                f"({time.strftime('%Y-%m-%d')}, round 4)\n\n"
+                f"({time.strftime('%Y-%m-%d')})\n\n"
                 "Same jobs at 1× (200k pages / 809k docs) and 3.34× (668k pages /\n"
                 "2.7M docs) webtext,\n"
                 "local[32], best-of-%d per level (protocol above):\n\n" % reps

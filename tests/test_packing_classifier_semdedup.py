@@ -217,3 +217,138 @@ def test_semantic_dedup_one_row_per_input(spark):
     out = semantic_dedup(df, cents)
     assert out.count() == 25
     assert out.select("id").distinct().count() == 25
+
+
+# ------------------------------------------- salted / auto-shard packing
+def _md5_bucket(key, n, salt=""):
+    import hashlib
+
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    return int(h[:8], 16) % n
+
+
+def _expected_packing(rows, budget, n_shards, salt_chunks):
+    """Pandas replay of the salted semantics: within a shard, docs
+    ordered by (salt, id); prefix sum; pack arithmetic."""
+    recs = []
+    for doc_id, n_tok in rows:
+        recs.append(
+            {
+                "id": doc_id,
+                "shard": _md5_bucket(doc_id, n_shards),
+                "salt": _md5_bucket(doc_id, salt_chunks, salt="pack"),
+                "n_tokens": n_tok,
+            }
+        )
+    out = {}
+    by_shard = {}
+    for r in recs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["salt"], r["id"]))
+        start = 0
+        for r in rs:
+            out[r["id"]] = {
+                "shard": shard,
+                "pack_id": start // budget,
+                "offset_in_pack": start % budget,
+                "crosses_boundary": start % budget + r["n_tokens"] > budget,
+            }
+            start += r["n_tokens"]
+    return out
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_pack_sequences_salted_matches_single_window_order(spark, n_shards):
+    """Two-phase (local prefix + carry broadcast) must equal a plain
+    walk over the SAME (salt, id) order — at two shard counts."""
+    rng = np.random.default_rng(3)
+    rows = [(int(i), int(rng.integers(1, 700))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["id"]: r
+        for r in pack_sequences(
+            df,
+            budget=512,
+            n_shards=n_shards,
+            n_tokens_col="n_tok",
+            salt_chunks=4,
+        ).collect()
+    }
+    want = _expected_packing(rows, 512, n_shards, 4)
+    assert len(got) == len(want)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert (g["shard"], g["pack_id"], g["offset_in_pack"],
+                g["crosses_boundary"]) == (
+            w["shard"], w["pack_id"], w["offset_in_pack"],
+            w["crosses_boundary"]), doc_id
+
+
+def test_pack_sequences_salted_partitioning_invariance(spark):
+    rows = [(int(i), int(i % 13 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = sorted(
+        pack_sequences(df.repartition(1), budget=64, n_shards=3,
+                       n_tokens_col="n_tok", salt_chunks=5).collect(),
+        key=lambda r: r["id"],
+    )
+    b = sorted(
+        pack_sequences(df.repartition(11, "doc_id"), budget=64, n_shards=3,
+                       n_tokens_col="n_tok", salt_chunks=5).collect(),
+        key=lambda r: r["id"],
+    )
+    assert a == b
+
+
+def test_pack_sequences_auto_shards(spark):
+    rows = [(int(i), 100) for i in range(50)]  # 5000 tokens total
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(
+        df, budget=512, n_shards=None, n_tokens_col="n_tok",
+        tokens_per_shard=1000,
+    )
+    shards = {r["shard"] for r in out.collect()}
+    # ceil(5000/1000) = 5 shards resolved; md5 buckets land inside [0,5)
+    assert shards <= set(range(5)) and len(shards) >= 2
+    # empty corpus: resolves to 1 shard, no crash
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert pack_sequences(empty, n_shards=None, n_tokens_col="n_tok").count() == 0
+
+
+def test_pack_sequences_salt_preserves_token_mass(spark):
+    rows = [(int(i), int(i % 7 + 1)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    plain = pack_sequences(df, budget=128, n_shards=4, n_tokens_col="n_tok")
+    salted = pack_sequences(df, budget=128, n_shards=4, n_tokens_col="n_tok",
+                            salt_chunks=6)
+    p = {r["shard"]: r["s"] for r in
+         plain.groupBy("shard").agg(F.sum("n_tokens").alias("s")).collect()}
+    s = {r["shard"]: r["s"] for r in
+         salted.groupBy("shard").agg(F.sum("n_tokens").alias("s")).collect()}
+    assert p == s  # salting changes order/plan, never shard token mass
+
+
+# --------------------------------------------- semdedup auto-k / guard
+def test_semdedup_auto_k():
+    from ballet_spark.operators.dedup import semdedup_auto_k
+
+    assert semdedup_auto_k(0) == 16
+    assert semdedup_auto_k(1_000) == 16
+    assert semdedup_auto_k(10_000_000, expected_cluster=4096) == 2442
+    # k ∝ n: doubling the corpus doubles k (constant cluster size)
+    assert semdedup_auto_k(20_000_000, 4096) == 2 * 2442 - 1  # ceil rounding
+    with pytest.raises(ValueError):
+        semdedup_auto_k(-1)
+    with pytest.raises(ValueError):
+        semdedup_auto_k(10, expected_cluster=0)
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0]])
+    with pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(df, cents, max_cluster=5).collect()
+    # under the cap: runs fine
+    assert semantic_dedup(df, cents, max_cluster=100).count() == 10
