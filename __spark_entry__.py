@@ -1930,77 +1930,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value verdict; pytest covers recall/determinism/re-rank). The
     verdict ledger in README.md records which round verified what.
 
-    Round-4 layout: group (1) = the 19 queries whose r01/r02 verdicts
-    predate the round-3 exact-aggregation refactor (17cc57f); group
-    (2) = salted_running_stats + gfssf_select_docs + the six late-r4
-    additions (semantic_dedup, nb_classifier, pack_sequences,
-    mixing_weights, mixing_resample, dedup_paragraphs), ts_features
-    (fft extension), curation_pipeline (_sround gate), dfs_customer
-    (percap rename); group (3) = the 15 round-3 first-timers — the
-    window holds precisely 50; everything after position 50 is parked
-    (sessionize_30m, rolling_mean_5, forward_fill, window_lag_delta,
-    then the two flagship fills q1_pricing_summary/asof_join_purchase
-    moved there to make room for the six new entries; all six parked
-    are multiply driver-verified, r03 most recently, and
-    unchanged)."""
+    Round-5 layout: group (1) = the 31 queries parked through round 4
+    whose latest driver verdict is r03 (VERDICT r4 ask #3 — the
+    flagships minhash_lsh_dups / embedding_neardups /
+    asof_join_purchase / q1_pricing_summary among them); group (2) =
+    the three queries ADDED this round (exactsubstr_dedup_docs,
+    curation_pipeline_v2, pack_sequences_salted_docs) plus
+    semantic_dedup_docs, whose ORACLE changed this round (zero-norm
+    cosine guard); group (3) = twelve round-4 first-timers (single r04
+    verdict each) and three bench-critical re-pins
+    (embedding_ivf_fixed_topk, dedup_components,
+    q3_top_revenue_orders — the VERDICT r4 ask #2 trio's oracle-backed
+    members). The window holds precisely 50; all 34 parked entries
+    carry an r04 driver verdict on unchanged code."""
     return {
-        # --- (1) stale driver verdicts: re-verify first ---
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "session_stats_30m": session_stats_30m,
-        "count_encode_lang": count_encode_lang,
-        "ordinal_encode_lang": ordinal_encode_lang,
-        "helmert_encode_lang": helmert_encode_lang,
-        "sum_encode_lang": sum_encode_lang,
-        "backward_diff_encode_lang": backward_diff_encode_lang,
-        "cube_orders": cube_orders,
-        "multi_lag_value": multi_lag_value,
-        "rolling_time_1h": rolling_time_1h,
-        "asof_tolerance_join": asof_tolerance_join,
-        "incremental_minhash_dups": incremental_minhash_dups,
-        "incremental_exact_dedup": incremental_exact_dedup,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "union_distinct_values": union_distinct_values,
-        "distinct_counts": distinct_counts,
-        "fitted_minmax": fitted_minmax,
-        "fitted_kbins": fitted_kbins,
-        "groupwise_scale": groupwise_scale,
-        # --- (2) new or changed this round ---
-        "salted_running_stats": salted_running_stats,
-        "salted_rolling_stats": salted_rolling_stats,
-        "gfssf_select_docs": gfssf_select_docs,
-        "semantic_dedup_docs": semantic_dedup_docs,
-        "nb_classifier_docs": nb_classifier_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "pack_sequences_salted_docs": pack_sequences_salted_docs,
-        "mixing_weights_docs": mixing_weights_docs,
-        "mixing_resample_docs": mixing_resample_docs,
-        "dedup_paragraphs_docs": dedup_paragraphs_docs,
-        "exactsubstr_dedup_docs": exactsubstr_dedup_docs,
-        "curation_pipeline_v2": curation_pipeline_v2,
-        "lm_perplexity_docs": lm_perplexity_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "pii_redaction_docs": pii_redaction_docs,
-        "remove_frequent_segments_docs": remove_frequent_segments_docs,
-        "ts_features_user": ts_features_user,
-        "curation_pipeline": curation_pipeline,
-        "dfs_customer_orders": dfs_customer_orders,
-        # --- (3a) round-3 single-verified ---
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "knn_impute_value": knn_impute_value,
-        "iterative_impute_value": iterative_impute_value,
-        "horizon_targets": horizon_targets,
-        "poly_encode_lang": poly_encode_lang,
-        "dedup_components": dedup_components,
-        "url_parse_docs": url_parse_docs,
-        "hash_split_docs": hash_split_docs,
-        "tfidf_top_terms": tfidf_top_terms,
-        "percentile_stats": percentile_stats,
-        "stratified_sample_docs": stratified_sample_docs,
-        "gopher_quality_filter": gopher_quality_filter,
-        "repetition_filter_docs": repetition_filter_docs,
-        "grouped_apply_normalize": grouped_apply_normalize,
-        "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
-        # --- (4) multiply verified, unchanged: past the window ---
+        # --- (1) stalest driver verdicts (r03): re-verify first ---
         "q1_pricing_summary": q1_pricing_summary,
         "asof_join_purchase": asof_join_purchase,
         "sessionize_30m": sessionize_30m,
@@ -2032,6 +1976,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "discrete_mutual_information": discrete_mutual_information,
         "boxcox_value": boxcox_value,
+        # --- (2) new or changed this round ---
+        "exactsubstr_dedup_docs": exactsubstr_dedup_docs,
+        "curation_pipeline_v2": curation_pipeline_v2,
+        "pack_sequences_salted_docs": pack_sequences_salted_docs,
+        "semantic_dedup_docs": semantic_dedup_docs,
+        # --- (3) round-4 first-timers + bench-critical re-pins ---
+        "nb_classifier_docs": nb_classifier_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mixing_weights_docs": mixing_weights_docs,
+        "mixing_resample_docs": mixing_resample_docs,
+        "dedup_paragraphs_docs": dedup_paragraphs_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "pii_redaction_docs": pii_redaction_docs,
+        "remove_frequent_segments_docs": remove_frequent_segments_docs,
+        "salted_running_stats": salted_running_stats,
+        "salted_rolling_stats": salted_rolling_stats,
+        "gfssf_select_docs": gfssf_select_docs,
+        "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
+        "dedup_components": dedup_components,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        # --- (4) multiply verified, unchanged: past the window ---
+        "session_stats_30m": session_stats_30m,
+        "count_encode_lang": count_encode_lang,
+        "ordinal_encode_lang": ordinal_encode_lang,
+        "helmert_encode_lang": helmert_encode_lang,
+        "sum_encode_lang": sum_encode_lang,
+        "backward_diff_encode_lang": backward_diff_encode_lang,
+        "cube_orders": cube_orders,
+        "multi_lag_value": multi_lag_value,
+        "rolling_time_1h": rolling_time_1h,
+        "asof_tolerance_join": asof_tolerance_join,
+        "incremental_minhash_dups": incremental_minhash_dups,
+        "incremental_exact_dedup": incremental_exact_dedup,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "union_distinct_values": union_distinct_values,
+        "distinct_counts": distinct_counts,
+        "fitted_minmax": fitted_minmax,
+        "fitted_kbins": fitted_kbins,
+        "groupwise_scale": groupwise_scale,
+        "ts_features_user": ts_features_user,
+        "curation_pipeline": curation_pipeline,
+        "dfs_customer_orders": dfs_customer_orders,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "knn_impute_value": knn_impute_value,
+        "iterative_impute_value": iterative_impute_value,
+        "horizon_targets": horizon_targets,
+        "poly_encode_lang": poly_encode_lang,
+        "url_parse_docs": url_parse_docs,
+        "hash_split_docs": hash_split_docs,
+        "tfidf_top_terms": tfidf_top_terms,
+        "percentile_stats": percentile_stats,
+        "stratified_sample_docs": stratified_sample_docs,
+        "gopher_quality_filter": gopher_quality_filter,
+        "repetition_filter_docs": repetition_filter_docs,
+        "grouped_apply_normalize": grouped_apply_normalize,
         # oracle-free by necessity: never in a verdict slot
         "embedding_ivf_topk": embedding_ivf_topk,
     }

@@ -327,10 +327,16 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-dispatched real decode: PNG (:func:`decode_png`) or
+    """Magic-dispatched real decode: PNG (:func:`decode_png`), baseline
+    JPEG (:func:`ballet_spark.functions.jpeg.decode_jpeg` — pure
+    Python huffman + numpy IDCT; Y channel IS the BT.601 luma) or
     binary netpbm (:func:`decode_ppm`) → 2-D float luma."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from ballet_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     return decode_ppm(data)
 
 

@@ -209,6 +209,10 @@ def headline_queries(spark, sf_dir):
         "nb_classifier_docs",
         "pack_sequences_docs",
         "mixing_weights_docs",
+        # round-5 additions
+        "exactsubstr_dedup_docs",
+        "pack_sequences_salted_docs",
+        "curation_pipeline_v2",
     ]
     qs = entry.queries()
     out, bands = {}, {}

@@ -106,10 +106,68 @@ def one_sequence(spark, batch_docs: int, k: int):
     return steps
 
 
+def one_sequence_bucketed(spark, batch_docs: int, k: int):
+    """Same protocol, but the index lives as the BUCKETED tables
+    save_lsh_index writes (sorted on the probe key): each step probes
+    the on-disk table, then appends the delta and rewrites — the
+    production snapshot cycle. The timed region is the ingest only;
+    the rewrite is the untimed between-snapshots maintenance (at scale
+    an append into the bucketed layout, not a rewrite). The point vs
+    the in-memory sequence: per-ingest index-side work is one
+    streaming scan of presorted buckets — no shuffle, no sort — so the
+    per-step slope is the scan, not the r4-measured shuffle+sort
+    term."""
+    from ballet_spark.operators.dedup import load_lsh_index, save_lsh_index
+
+    steps = []
+    index = LshIndex(
+        buckets=spark.createDataFrame([], "id long, band int, bucket long"),
+        grams=spark.createDataFrame([], "id long, hs array<long>"),
+    )
+    save_lsh_index(index, "stress_lsh", n_buckets=16)
+    for step in range(k):
+        disk_index = load_lsh_index(spark, "stress_lsh")
+        batch = make_batch(spark, batch_docs, step).persist()
+        n_batch = batch.count()
+        t0 = time.perf_counter()
+        pairs, delta = minhash_lsh_pairs_incremental(
+            batch, disk_index, num_hashes=64, bands=16
+        )
+        n_pairs = pairs.count()
+        dt = time.perf_counter() - t0
+        # untimed maintenance: fold the delta into the bucketed tables
+        merged = LshIndex(
+            disk_index.buckets.unionByName(delta.buckets).localCheckpoint(
+                eager=True
+            ),
+            disk_index.grams.unionByName(delta.grams).localCheckpoint(
+                eager=True
+            ),
+        )
+        save_lsh_index(merged, "stress_lsh", n_buckets=16)
+        n_index = spark.table("stress_lsh_grams").count()
+        release_caches(spark)
+        batch.unpersist()
+        steps.append(
+            {
+                "step": step,
+                "batch_docs": n_batch,
+                "index_docs_after": n_index,
+                "pairs": n_pairs,
+                "sec": round(dt, 3),
+            }
+        )
+    for t in ("stress_lsh_buckets", "stress_lsh_grams"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return steps
+
+
 def main():
-    batch_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch_docs = int(pos[0]) if len(pos) > 0 else 25_000
+    k = int(pos[1]) if len(pos) > 1 else 6
+    reps = int(pos[2]) if len(pos) > 2 else 3
+    bucketed = "--bucketed" in sys.argv
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="incremental_index_stress", master=f"local[{cpus}]"
@@ -125,7 +183,8 @@ def main():
     )[0].count()
     release_caches(spark)
 
-    runs = [one_sequence(spark, batch_docs, k) for _ in range(reps)]
+    seq = one_sequence_bucketed if bucketed else one_sequence
+    runs = [seq(spark, batch_docs, k) for _ in range(reps)]
     best = []
     for step in range(k):
         draws = [r[step]["sec"] for r in runs]
@@ -137,6 +196,7 @@ def main():
     for row in best:
         row["vs_step0"] = round(row["sec"] / base, 2)
     print(json.dumps({"batch_docs": batch_docs, "k": k, "reps": reps,
+                      "mode": "bucketed" if bucketed else "memory",
                       "steps": best}, indent=1))
     spark.stop()
 

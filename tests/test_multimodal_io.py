@@ -489,3 +489,84 @@ def test_png_through_spark_image_features(spark):
 
     rs = resize_images(df, 8, 8).toPandas()
     assert (rs["width"] == 8).all() and rs["media"].notna().all()
+
+
+# ------------------------------------------------------ baseline JPEG
+def test_jpeg_roundtrip_gray_color_restarts():
+    """Pure-Python baseline JPEG: with a flat quant table the
+    encode→decode roundtrip is near-lossless, pinning huffman, zigzag,
+    dequant, IDCT and MCU assembly; restart intervals exercise the
+    decoder resync path."""
+    from ballet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:23]
+    gray = (100 + 80 * np.sin(yy / 7) + 60 * np.cos(xx / 5)).clip(0, 255)
+    for ri in (0, 1, 3):
+        dec = decode_jpeg(encode_jpeg(gray, quant=1, restart_interval=ri))
+        assert dec.shape == gray.shape
+        assert np.abs(dec - gray).max() < 1.0, ri
+
+    yy, xx = np.mgrid[0:41, 0:30]
+    rgb = np.stack(
+        [100 + 50 * np.sin(xx / 4), 120 + 40 * np.cos(yy / 6),
+         90 + 30 * np.sin((xx + yy) / 5)], -1
+    ).clip(0, 255)
+    ytrue = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for ri in (0, 2):
+        dec = decode_jpeg(encode_jpeg(rgb, quant=2, restart_interval=ri))
+        assert dec.shape == ytrue.shape
+        # 4:2:0 chroma never feeds luma: Y roundtrips at quant error
+        assert np.abs(dec - ytrue).max() < 2.0, ri
+
+
+def test_jpeg_error_paths():
+    from ballet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_jpeg(b"nope not a jpeg")
+    # progressive: patch the SOF0 marker to SOF2 in a real file
+    gray = np.full((8, 8), 128.0)
+    data = bytearray(encode_jpeg(gray))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # truncated entropy stream fails clearly
+    good = encode_jpeg(gray)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-4] + b"\xff\xd9")  # chop entropy, keep EOI
+
+
+def test_jpeg_through_real_image_features_path(spark):
+    """decode_image dispatches FFD8 to the JPEG decoder inside the
+    actual mapInPandas kernel; features match the SAME image shipped
+    as lossless PPM within quantization tolerance (phash exactly —
+    quant=1 perturbs luma < 1 level, far under phash's DCT-median
+    threshold for a smooth image)."""
+    import pandas as pd
+
+    from ballet_spark.functions.jpeg import encode_jpeg
+    from ballet_spark.functions.multimodal import (
+        encode_ppm,
+        image_features,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:18]
+    gray = (110 + 70 * np.sin(yy / 5) + 50 * np.cos(xx / 4)).clip(0, 255)
+    rows = [
+        ("http://x.test/jpg", pd.Timestamp("2024-01-01").to_pydatetime(),
+         encode_jpeg(gray, quant=1), ("image/jpeg", 0, 0, 0.0)),
+        ("http://x.test/ppm", pd.Timestamp("2024-01-01").to_pydatetime(),
+         encode_ppm(gray.astype(np.uint8)), ("image/x-portable", 0, 0, 0.0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, media binary, "
+        "media_meta struct<mime: string, width: int, height: int, duration_s: double>",
+    )
+    out = {r["url"]: r for r in image_features(df, fake=False).collect()}
+    j, p = out["http://x.test/jpg"], out["http://x.test/ppm"]
+    assert (j["width"], j["height"]) == (p["width"], p["height"]) == (18, 24)
+    # uint8 cast in the PPM twin loses < 1 level; JPEG quant=1 < 1 level
+    assert abs(j["mean_luma"] - p["mean_luma"]) < 1.5
+    assert j["phash"] == p["phash"]
