@@ -43,6 +43,31 @@ def _bucket(token: str, n_buckets: int) -> int:
     return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
+# md5 is the exact-oracle contract (SQL md5(token)) so it cannot be
+# replaced by a numpy hash — but natural text is Zipfian, so a
+# distinct-token memo turns the per-token md5 into a dict hit for all
+# but the first occurrence. Worker-lifetime cache, hard-capped.
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_MAX = 2_000_000
+
+
+def _bucket_array(tokens: "np.ndarray", n_buckets: int) -> "np.ndarray":
+    """Vectorized bucket lookup for a batch: md5 once per DISTINCT
+    token (memoized across batches in the long-lived Python worker),
+    then a numpy gather back to token positions."""
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    ub = np.empty(len(uniq), dtype=np.int64)
+    for i, tok in enumerate(uniq):
+        key = (n_buckets, tok)
+        b = _BUCKET_CACHE.get(key)
+        if b is None:
+            b = _bucket(tok, n_buckets)
+            if len(_BUCKET_CACHE) < _BUCKET_CACHE_MAX:
+                _BUCKET_CACHE[key] = b
+        ub[i] = b
+    return ub[inv]
+
+
 def _tokens(text: str) -> list[str]:
     # identical to string_split(trim(text), ' '): trim spaces only,
     # split on single spaces, KEEP empty tokens from runs of spaces
@@ -68,6 +93,7 @@ def fit_nb_tokens(
         for pdf in batches:
             m = np.zeros((2, n_buckets), dtype=np.int64)
             docs = np.zeros(2, dtype=np.int64)
+            cls_parts, tok_parts = [], []
             for t, y in zip(pdf[text_col], pdf[label_col]):
                 # pd.isna, not `is None`: a nullable int label arrives
                 # in the Arrow batch as a float column whose NULLs are
@@ -76,8 +102,13 @@ def fit_nb_tokens(
                     continue
                 c = int(y)
                 docs[c] += 1
-                for tok in _tokens(t):
-                    m[c, _bucket(tok, n_buckets)] += 1
+                toks = _tokens(t)
+                cls_parts.append(np.full(len(toks), c, dtype=np.int64))
+                tok_parts.append(np.array(toks, dtype=object))
+            if tok_parts:
+                cls_arr = np.concatenate(cls_parts)
+                buckets = _bucket_array(np.concatenate(tok_parts), n_buckets)
+                np.add.at(m, (cls_arr, buckets), 1)
             nz = np.nonzero(m.ravel())[0]
             out = pd.DataFrame({"idx": nz, "n": m.ravel()[nz]})
             # doc counts ride along at idx = 2*n_buckets + cls
@@ -151,15 +182,25 @@ def score_nb_tokens(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lq = []
-            for t in pdf[text_col]:
+            lq: list = [None] * len(pdf)
+            pos, tok_parts, n_toks = [], [], []
+            for i, t in enumerate(pdf[text_col]):
                 if pd.isna(t):
-                    lq.append(None)
                     continue
-                s = pdiff
-                for tok in _tokens(t):
-                    s += int(diff[_bucket(tok, n_buckets)])
-                lq.append(s)
+                toks = _tokens(t)
+                pos.append(i)
+                tok_parts.append(np.array(toks, dtype=object))
+                n_toks.append(len(toks))
+            if pos:
+                # one md5-memoized bucket gather for the whole batch,
+                # per-doc exact int64 sums via add.reduceat — the
+                # same whole-batch shape as the LM scorer
+                buckets = _bucket_array(np.concatenate(tok_parts), n_buckets)
+                lens = np.asarray(n_toks, dtype=np.int64)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                sums = pdiff + np.add.reduceat(diff[buckets], starts)
+                for i, s in zip(pos, sums):
+                    lq[i] = int(s)
             out = pdf.copy()
             out[f"{out_col}_logodds_q"] = pd.array(lq, dtype="Int64")
             yield out
