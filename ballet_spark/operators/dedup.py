@@ -1059,13 +1059,28 @@ def semantic_dedup(
         M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(M, axis=1)
         nrm[nrm == 0.0] = 1.0
-        # dot-first, one division — the exact float recipe of
-        # similarity.py::cosine_topk, proven hash-identical to DuckDB's
-        # list_cosine_similarity in the embedding_topk oracle
-        S = (M @ M.T) / np.outer(nrm, nrm)
-        # max cosine to any SMALLER-id member: strictly-lower triangle
-        S[np.triu_indices(len(S))] = -np.inf
-        mx = S.max(axis=1)
+        # max cosine to any SMALLER-id member, computed BLOCKWISE:
+        # row block [s,e) only ever multiplies against columns [0,e)
+        # (later ids can't be a row's predecessor), so peak memory is
+        # O(B·m) instead of the full m×m matrix and the flop count is
+        # the lower triangle's m²/2·dim, not m²·dim — at the hot-cluster
+        # tail (Voronoi cells of random centroids skew ~6× over the
+        # mean) the full-matrix form allocated S plus triu_indices(m)
+        # (~3 GB each at m≈19k) and was the stage straggler. Each
+        # S[i,j] is still the identical dot-first/one-division double —
+        # the exact float recipe of similarity.py::cosine_topk, proven
+        # hash-identical to DuckDB's list_cosine_similarity in the
+        # embedding_topk oracle — so grid-rounded values are unchanged.
+        m = len(M)
+        mx = np.full(m, -np.inf)
+        B = 2048
+        for s in range(0, m, B):
+            e = min(s + B, m)
+            S = (M[s:e] @ M[:e].T) / np.outer(nrm[s:e], nrm[:e])
+            # mask j >= i inside the trailing (e-s)² diagonal block
+            # (a view into S, so the row max below sees the mask)
+            S[:, s:e][np.triu_indices(e - s)] = -np.inf
+            mx[s:e] = S.max(axis=1)
         mx[0] = np.nan  # smallest id: no predecessor
         q = np.sign(mx) * np.floor(np.abs(mx) * 1e6 + 0.5) / 1e6
         return pd.DataFrame(
