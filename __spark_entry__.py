@@ -1300,23 +1300,34 @@ def curation_pipeline_v2(spark, sf_dir):
         .select("doc_id", "lang", "text")
         .filter(F.length("text") > 0)
     )
+    # the CI tables arrive as ONE parquet split; without this the
+    # entire six-stage chain (three Arrow kernels among them) runs as
+    # a chain of single-task stages. Guarded: a real multi-split
+    # table is left untouched. Same pattern as dedup_substrings.
+    par = spark.sparkContext.defaultParallelism
+    if all_docs.rdd.getNumPartitions() < par:
+        all_docs = all_docs.repartition(par)
     eval_docs = all_docs.filter(F.col("doc_id") % 10 == 0)
     train = all_docs.filter(F.col("doc_id") % 10 != 0)
 
     # 1. LM perplexity gate
     lm = fit_char_bigram_lm(train, "text")
     scored = score_char_bigram_lm(train, lm, "text")
+    # g1 is scanned by the NB fit action, NB scoring, and the final
+    # DAG — persist the gate output so the LM kernel runs once
     g1 = scored.filter(_sround(F.col("lm_logp"), 6) >= -1.78).select(
         "doc_id", "lang", "text"
-    )
+    ).persist()
 
     # 2. NB label-consistency gate (integer sign test, engine-exact)
     labeled = g1.withColumn("y", (F.col("lang") == "en").cast("int"))
     model = fit_nb_tokens(labeled, "y", "text", n_buckets=256)
     nb = score_nb_tokens(g1, model, "text")
+    # g2 feeds dedup_lines, which scans its input for the winner agg
+    # AND the join back — persist so the NB kernel runs once
     g2 = nb.filter(
         F.col("nb_pred") == (F.col("lang") == "en")
-    ).select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", "text").persist()
 
     # 3. sub-document exact dedup on deterministic 5-word chunks
     seg_expr = (

@@ -1137,19 +1137,29 @@ def dedup_substrings(
     Docs with < k tokens pass through unchanged (the paper ignores
     sub-threshold docs too).
 
-    Scale shape (the 100 TB question): fingerprinting is map-side JVM
-    (one ``transform`` HOF computing md5 over each slice — O(k·n)
-    CPU per doc, zero Python); the hash table is 16-byte binary keys,
-    so the winner aggregation shuffles ~(16B hash + id + pos) per
-    window ≈ a small constant × corpus bytes, with map-side partial
-    combine so a boilerplate window occurring in 10^8 docs costs one
-    partial row per task, NOT a hot reduce key. Winners are filtered
-    to ``count > 1`` BEFORE the join back, so the probe join touches
+    Scale shape (the 100 TB question): fingerprinting is one
+    map-side Arrow-batched kernel — tokens are UTF-8-encoded once per
+    doc and each window is a bytes-join + md5 digest, so the CPU cost
+    is O(k·n) per doc with no per-window expression interpretation (a
+    JVM ``transform`` HOF was measured at ~15µs per ELEMENT of pure
+    higher-order-function interpretation overhead, ~100× the Python
+    digest loop — the one case where the "built-ins beat UDFs" rule
+    inverts). The hash table is 16-byte binary keys, so the winner
+    aggregation shuffles ~(16B hash + id + pos) per window ≈ a small
+    constant × corpus bytes, with map-side partial combine so a
+    boilerplate window occurring in 10^8 docs costs one partial row
+    per task, NOT a hot reduce key. Winners are filtered to
+    ``count > 1`` BEFORE the join back, so the probe join touches
     only occurrences of actually-repeated windows (AQE skew-join
     splits residual hot fingerprints). Removal positions funnel into
     one groupBy(id) — linear — and the text rebuild is a single
     Arrow-batched kernel doing an O(n) numpy difference-array per doc.
     Three linear shuffles total; no quadratic term, no driver collect.
+    When the input arrives in fewer partitions than the cluster has
+    cores (a single small file — the CI shape; a 100 TB table arrives
+    in thousands of splits and is untouched), the corpus is
+    repartitioned once up front so the fingerprint stage actually
+    parallelizes.
 
     Exactness: md5 (128-bit) windows collide with probability ~n²/2¹²⁹
     — at 10^14 windows that is < 10⁻¹⁰ corpus-wide; an exact oracle
@@ -1167,26 +1177,44 @@ def dedup_substrings(
     if out_col == "n_removed_tokens":
         raise ValueError("dedup_substrings: out_col may not be 'n_removed_tokens'")
 
+    # small-input parallelization guard: a corpus that arrives in
+    # fewer splits than the session has cores would run the whole
+    # fingerprint scan on those few tasks; one up-front round-robin
+    # repartition fixes that, and the guard keeps it away from real
+    # multi-thousand-split tables where it would only add a shuffle
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), " ", -1), lambda x: x != ""
     )
     base = df.withColumn("__toks", toks)
-    # one JVM map stage: every k-window's 16-byte fingerprint. The
-    # short-doc guard lives INSIDE the expression (when/otherwise, same
-    # pattern as ngrams_from_tokens): a separate filter can be fused
-    # past the projection, letting sequence() descend for docs with
-    # fewer than k tokens and slice() fail on start 0.
-    hashes = F.when(
-        F.size("__toks") >= F.lit(k),
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
-            lambda i: F.unhex(
-                F.md5(
-                    F.concat_ws(" ", F.slice(F.col("__toks"), i + F.lit(1), k))
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<binary>"))
+
+    # one Arrow map stage: every k-window's 16-byte md5. Tokens are
+    # encoded once per doc; each window is a bytes-join + digest —
+    # identical bytes to md5(concat_ws(' ', slice(toks, i+1, k)))
+    # (the oracle groups on that window STRING, so agreement also
+    # certifies the fingerprints collision-free on the corpus).
+    @F.pandas_udf("array<binary>")
+    def _win_md5(tok_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for tk in tok_arrays:
+            if tk is None or len(tk) < k:
+                out.append([])
+                continue
+            bs = [t.encode("utf-8") for t in tk]
+            out.append(
+                [
+                    hashlib.md5(b" ".join(bs[i : i + k])).digest()
+                    for i in range(len(bs) - k + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    hashes = _win_md5(F.col("__toks"))
     wins = base.select(
         F.col(id_col).alias("__id"), hashes.alias("__hs")
     ).select("__id", F.posexplode("__hs").alias("__pos", "__h"))
