@@ -1073,7 +1073,10 @@ def semantic_dedup(
         # embedding_topk oracle — so grid-rounded values are unchanged.
         m = len(M)
         mx = np.full(m, -np.inf)
-        B = 2048
+        # block height adapts so the B×m block matrix stays ≤ ~64 MB
+        # even on a pathological hot cluster (max_cluster/auto-k bound
+        # m by policy; this bounds memory by construction)
+        B = max(64, min(2048, 8_000_000 // max(m, 1)))
         for s in range(0, m, B):
             e = min(s + B, m)
             S = (M[s:e] @ M[:e].T) / np.outer(nrm[s:e], nrm[:e])
