@@ -68,6 +68,18 @@ def _sround(col, d: int):
     return F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s
 
 
+# Deterministic 5-word positional chunking of a pre-tokenized array
+# column `__ftoks`, chunks joined by newlines — shared by the three
+# sub-document-granularity queries (dedup_paragraphs_docs,
+# remove_frequent_segments_docs, curation_pipeline_v2) and replayed
+# verbatim by their DuckDB oracles.
+_SEG5_EXPR = (
+    "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
+    "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
+    " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1314,7 +1326,13 @@ def curation_pipeline_v2(spark, sf_dir):
     lm = fit_char_bigram_lm(train, "text")
     scored = score_char_bigram_lm(train, lm, "text")
     # g1 is scanned by the NB fit action, NB scoring, and the final
-    # DAG — persist the gate output so the LM kernel runs once
+    # DAG — persist the gate output so the LM kernel runs once.
+    # Lifecycle: the caller owns the returned DataFrame, so these two
+    # persists cannot be unpersisted here; they are gate-survivor
+    # projections (three narrow columns), small relative to any
+    # corpus this runs on, and the bench harness clearCache()s
+    # between draws. A production materialization would checkpoint
+    # through plans/materialize.py instead.
     g1 = scored.filter(_sround(F.col("lm_logp"), 6) >= -1.78).select(
         "doc_id", "lang", "text"
     ).persist()
@@ -1329,17 +1347,18 @@ def curation_pipeline_v2(spark, sf_dir):
         F.col("nb_pred") == (F.col("lang") == "en")
     ).select("doc_id", "lang", "text").persist()
 
-    # 3. sub-document exact dedup on deterministic 5-word chunks
-    seg_expr = (
-        "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
-        "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
-        " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
-    )
+    # 3. sub-document exact dedup on deterministic 5-word chunks.
+    # Tokenize on \s+ (not ' '): the chunks are '\n'-joined and
+    # dedup_lines re-splits on '\n', so no token may CONTAIN the
+    # separator or chunk atomicity diverges from the oracle's
+    # row_number replay. \s+ tokens cannot contain any whitespace —
+    # lockstep by construction on any corpus (the oracle's dw CTE
+    # uses the same regex split).
     seg = g2.selectExpr(
         "doc_id",
         "lang",
-        "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",
-    ).selectExpr("doc_id", "lang", f"{seg_expr} AS t2")
+        "filter(split(trim(text), '\\\\s+'), x -> x != '') AS __ftoks",
+    ).selectExpr("doc_id", "lang", f"{_SEG5_EXPR} AS t2")
     cleaned = dedup_lines(seg, id_col="doc_id", text_col="t2", out_col="ct")
 
     # 4. decontaminate the cleaned text vs the eval slice
@@ -1645,18 +1664,13 @@ def remove_frequent_segments_docs(spark, sf_dir):
     never shuffled for the rewrite."""
     from ballet_spark.operators.dedup import remove_frequent_lines
 
-    seg_expr = (
-        "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
-        "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
-        " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
-    )
     docs = (
         _t(spark, sf_dir, "documents")
         .selectExpr(
             "doc_id",
             "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",
         )
-        .selectExpr("doc_id", f"{seg_expr} AS t2")
+        .selectExpr("doc_id", f"{_SEG5_EXPR} AS t2")
     )
     out = remove_frequent_lines(
         docs, "t2", sep="\n", min_df=3, out_col="cleaned"
@@ -1890,18 +1904,13 @@ def dedup_paragraphs_docs(spark, sf_dir):
     winners equi-join, one per-doc reassembly."""
     from ballet_spark.operators.dedup import dedup_lines
 
-    seg_expr = (
-        "array_join(CASE WHEN size(__ftoks) = 0 THEN array() ELSE "
-        "transform(sequence(0, cast(ceil(size(__ftoks) / 5.0) as int) - 1),"
-        " i -> concat_ws(' ', slice(__ftoks, i * 5 + 1, 5))) END, '\\n')"
-    )
     docs = (
         _t(spark, sf_dir, "documents")
         .selectExpr(
             "doc_id",
             "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",
         )
-        .selectExpr("doc_id", f"{seg_expr} AS t2")
+        .selectExpr("doc_id", f"{_SEG5_EXPR} AS t2")
     )
     out = dedup_lines(docs, id_col="doc_id", text_col="t2", out_col="cleaned")
     return out.select("doc_id", "cleaned", "n_removed")
@@ -3674,7 +3683,7 @@ def _generated_oracles() -> dict[str, str]:
                WHERE ((nbs.s + nbp.pd) > 0) = (lab.lang = 'en')),
         -- (3) sub-document exact dedup on 5-word chunks
         dw AS (SELECT doc_id, lang,
-                      list_filter(string_split(trim(text), ' '),
+                      list_filter(string_split_regex(trim(text), '\\s+'),
                                   x -> x <> '') AS w
                FROM g2),
         seg AS (SELECT doc_id, i,

@@ -223,6 +223,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code; skip them (some encoders/cameras pad segments)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -450,6 +454,11 @@ def encode_jpeg(
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (tests the decoder's resync path). Annex-K standard huffman
     tables."""
+    if not 1 <= int(quant) <= 255:
+        # the 8-bit DQT cannot represent values outside 1..255; >255
+        # would silently wrap in the written table while the forward
+        # quantizer used the true value (all-zero reconstruction)
+        raise ValueError(f"quant must be in 1..255, got {quant}")
     arr = np.asarray(arr, dtype=float)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]

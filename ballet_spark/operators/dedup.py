@@ -1137,8 +1137,10 @@ def dedup_substrings(
     repeated windows whose union is the whole span). Output = input
     columns with ``out_col`` (default: text_col replaced) rebuilt from
     kept tokens joined by single spaces, plus ``n_removed_tokens``.
-    Docs with < k tokens pass through unchanged (the paper ignores
-    sub-threshold docs too).
+    Docs with < k tokens lose no tokens (the paper ignores
+    sub-threshold docs too), but like every output here their text is
+    whitespace-NORMALIZED (tokens re-joined with single spaces; NULL
+    text becomes '') — byte-identical pass-through is not promised.
 
     Scale shape (the 100 TB question): fingerprinting is one
     map-side Arrow-batched kernel — tokens are UTF-8-encoded once per
@@ -1174,7 +1176,10 @@ def dedup_substrings(
         raise ValueError("dedup_substrings: k must be >= 2")
     k = int(k)
     out_col = out_col or text_col
-    for c in ("__toks", "__h", "__pos", "__w", "__rem", "n_removed_tokens"):
+    for c in (
+        "__toks", "__h", "__pos", "__w", "__rem", "__id",
+        "__cleaned", "__nrem", "n_removed_tokens",
+    ):
         if c in df.columns:
             raise ValueError(f"dedup_substrings reserves column name {c!r}")
     if out_col == "n_removed_tokens":

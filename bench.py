@@ -173,6 +173,15 @@ def asof_bench(spark, path: str) -> int:
     return sink(j)
 
 
+def _band(draws):
+    """Pinned timing + draw band for one query's rep list."""
+    return round(min(draws), 3), {
+        "best": round(min(draws), 3),
+        "worst": round(max(draws), 3),
+        "reps": len(draws),
+    }
+
+
 def headline_queries(spark, sf_dir):
     """Operator queries from the driver contract, timed individually."""
     import __spark_entry__ as entry
@@ -237,12 +246,7 @@ def headline_queries(spark, sf_dir):
             # drop caches (e.g. minhash's persisted band table) so later
             # queries aren't squeezed by accumulated executor memory
             spark.catalog.clearCache()
-        out[n] = round(min(draws), 3)
-        bands[n] = {
-            "best": round(min(draws), 3),
-            "worst": round(max(draws), 3),
-            "reps": len(draws),
-        }
+        out[n], bands[n] = _band(draws)
     return out, bands
 
 
@@ -293,24 +297,14 @@ def run_default():
         t0 = time.perf_counter()
         n_docs = backfill(spark, path, "/tmp/ballet_spark_matrix.parquet")
         draws.append(time.perf_counter() - t0)
-    timings["webtext_backfill"] = round(min(draws), 3)
-    bands["webtext_backfill"] = {
-        "best": round(min(draws), 3),
-        "worst": round(max(draws), 3),
-        "reps": len(draws),
-    }
+    timings["webtext_backfill"], bands["webtext_backfill"] = _band(draws)
 
     draws = []
     for _ in range(5):
         t0 = time.perf_counter()
         asof_bench(spark, path)
         draws.append(time.perf_counter() - t0)
-    timings["webtext_asof_join"] = round(min(draws), 3)
-    bands["webtext_asof_join"] = {
-        "best": round(min(draws), 3),
-        "worst": round(max(draws), 3),
-        "reps": len(draws),
-    }
+    timings["webtext_asof_join"], bands["webtext_asof_join"] = _band(draws)
 
     q_timings, q_bands = headline_queries(spark, sf_dir)
     timings.update(q_timings)

@@ -53,8 +53,9 @@ def test_out_col_and_reserved_names(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     out = dedup_substrings(df, k=2, out_col="cleaned").toPandas()
     assert set(out.columns) == {"doc_id", "text", "cleaned", "n_removed_tokens"}
-    with pytest.raises(ValueError, match="reserves"):
-        dedup_substrings(df.withColumn("n_removed_tokens", F.lit(1)), k=2)
+    for bad in ("n_removed_tokens", "__cleaned", "__nrem", "__id"):
+        with pytest.raises(ValueError, match="reserves"):
+            dedup_substrings(df.withColumn(bad, F.lit(1)), k=2)
     with pytest.raises(ValueError, match="k must be"):
         dedup_substrings(df, k=1)
 

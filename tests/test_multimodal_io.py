@@ -519,11 +519,34 @@ def test_jpeg_roundtrip_gray_color_restarts():
         assert np.abs(dec - ytrue).max() < 2.0, ri
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code; some encoders/cameras pad segments this way."""
+    from ballet_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    gray = np.full((16, 16), 77.0)
+    data = encode_jpeg(gray)
+    ref = decode_jpeg(data)
+    # splice an extra fill 0xFF before the first post-SOI marker and
+    # two before the SOS marker
+    padded = bytearray(data)
+    i = padded.find(b"\xff\xda")
+    padded[i:i] = b"\xff\xff"
+    padded[2:2] = b"\xff"
+    assert np.array_equal(decode_jpeg(bytes(padded)), ref)
+
+
 def test_jpeg_error_paths():
     from ballet_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
     with pytest.raises(NotImplementedError, match="magic"):
         decode_jpeg(b"nope not a jpeg")
+    # 8-bit DQT cannot represent quant outside 1..255; >255 would
+    # silently wrap in the written table (all-zero reconstruction)
+    gray8 = np.full((8, 8), 128.0)
+    for bad in (0, 256, -3):
+        with pytest.raises(ValueError, match="quant"):
+            encode_jpeg(gray8, quant=bad)
     # progressive: patch the SOF0 marker to SOF2 in a real file
     gray = np.full((8, 8), 128.0)
     data = bytearray(encode_jpeg(gray))
