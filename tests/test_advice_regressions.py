@@ -472,3 +472,59 @@ def test_semantic_dedup_zero_norm_embedding(spark):
             assert pd.isna(got[oid])
         else:
             assert grid(got[oid]) == pytest.approx(oq, abs=0)
+
+
+def test_chunk_dedup_lockstep_with_newline_tokens(spark):
+    """Round-5 review regression: curation_pipeline_v2's step-3 chunks
+    are '\\n'-joined and dedup_lines re-splits on '\\n', so tokens must
+    not be able to CONTAIN the separator or chunk atomicity diverges
+    from the oracle's chunk-level row_number replay. The fix tokenizes
+    on \\s+ (no token can contain any whitespace); this pins the
+    lockstep on a corpus that actually has newlines inside
+    space-delimited runs."""
+    import duckdb
+
+    from ballet_spark.operators.dedup import dedup_lines
+    from __spark_entry__ import _SEG5_EXPR
+
+    rows = [
+        (1, "a\nb c d e f g h i j k"),     # '\n' inside a space-run
+        (2, "a b\nc d e f g h i j k"),
+        (3, "p q r s t u v w x y"),
+        (4, "p q r s t u v w x y"),        # exact chunk dup of 3
+        (5, "one two\nthree"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = df.selectExpr(
+        "doc_id",
+        "filter(split(trim(text), '\\\\s+'), x -> x != '') AS __ftoks",
+    ).selectExpr("doc_id", f"{_SEG5_EXPR} AS t2")
+    got = (
+        dedup_lines(seg, id_col="doc_id", text_col="t2", out_col="ct")
+        .select("doc_id", "ct")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(r"""
+        WITH dw AS (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS w
+                    FROM docs),
+        seg AS (SELECT doc_id, i,
+                       array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ') AS chunk
+                FROM dw, unnest(generate_series(
+                         0, cast(ceil(len(w) / 5.0) as int) - 1)) t(i)),
+        r AS (SELECT doc_id, i, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, i) AS rn
+              FROM seg)
+        SELECT dw.doc_id,
+               coalesce((SELECT string_agg(chunk, chr(10) ORDER BY i)
+                         FROM r WHERE r.doc_id = dw.doc_id AND rn = 1),
+                        '') AS ct
+        FROM dw ORDER BY doc_id
+    """).df()
+    assert got["ct"].tolist() == want["ct"].tolist()
+    # doc 4's chunks all dedup away; doc 1/2's newline tokens stay atomic
+    assert got.loc[got["doc_id"] == 4, "ct"].iloc[0] == ""
