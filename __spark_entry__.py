@@ -1921,11 +1921,12 @@ def exactsubstr_dedup_docs(spark, sf_dir):
     al. 2022): every repeated 5-token WINDOW — at any offset, no line
     structure assumed — keeps only its first occurrence under the
     total order (doc_id, pos); a non-first occurrence removes the
-    union of its repeated windows' tokens. Fingerprints are JVM md5
-    over each window slice (map-only); the winner is a min(struct)
-    hash agg with map-side partial combine; the oracle groups on the
-    window STRING itself, so agreement also proves the 128-bit
-    fingerprint route collision-free on this corpus."""
+    union of its repeated windows' tokens. Fingerprints are one
+    Arrow-batched bytes-join+md5 kernel over \\s+ tokens (map-only);
+    the winner is a min(struct) hash agg with map-side partial
+    combine; the oracle groups on the window STRING itself, so
+    agreement also proves the 128-bit fingerprint route
+    collision-free on this corpus."""
     from ballet_spark.operators.dedup import dedup_substrings
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3014,7 +3015,8 @@ def _generated_oracles() -> dict[str, str]:
 
     out["decontaminate_docs"] = """
         WITH d AS (SELECT doc_id,
-                          string_split_regex(trim(text), '\\s+') AS w
+                          list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '') AS w
                    FROM documents),
         g AS (SELECT DISTINCT doc_id,
                      array_to_string(w[i:i+7], ' ') AS g
@@ -3575,7 +3577,7 @@ def _generated_oracles() -> dict[str, str]:
     # the oracle collision-free, so a match also certifies the hashes)
     out["exactsubstr_dedup_docs"] = """
         WITH d AS (SELECT doc_id,
-                          list_filter(string_split(trim(text), ' '),
+                          list_filter(string_split_regex(text, '\\s+'),
                                       x -> x <> '') AS w
                    FROM documents),
         wins AS (SELECT doc_id, i AS pos,
@@ -3704,12 +3706,14 @@ def _generated_oracles() -> dict[str, str]:
                FROM dw LEFT JOIN agg3 USING (doc_id)),
         -- (4) 8-gram decontamination of the cleaned text vs evald
         d4 AS (SELECT doc_id, lang, text,
-                      string_split_regex(trim(text), '\\s+') AS w
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '') AS w
                FROM g3),
         g4g AS (SELECT DISTINCT doc_id,
                        array_to_string(w[i:i+7], ' ') AS g
                 FROM d4, unnest(generate_series(1, len(w) - 7)) t(i)),
-        bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+        bw AS (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '') AS w
                FROM evald),
         bgr AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
                 FROM bw, unnest(generate_series(1, len(w) - 7)) t(i)),

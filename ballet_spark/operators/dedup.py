@@ -70,8 +70,13 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def tokens_col(text_col):
-    """Whitespace tokens of a text column."""
-    return F.split(F.trim(text_col), r"\s+")
+    """Whitespace tokens of a text column, empties dropped. The filter
+    matters: ``F.trim`` strips only SPACES, so text with leading or
+    trailing newlines/tabs would otherwise yield phantom '' tokens
+    (``split(trim('\\nw1 w2\\n'), '\\s+') = ['', 'w1', 'w2', '']``) —
+    polluting n-gram sets and letting sub-n-word docs clear ``>= n``
+    size guards."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
 
 
 def ngrams_from_tokens(toks, n: int = 3):
@@ -136,16 +141,20 @@ def ngram_jaccard_pairs(
 
     exploded = docs.select("id", F.explode("hs").alias("gram"))
     if max_df is not None:
-        # hot grams are ≤ |rows|/max_df by pigeonhole — a small table —
-        # so a broadcast anti-join beats a window over every exploded
-        # row (no sort, no full-data exchange on the gram key)
+        # hot grams are ≤ |exploded|/max_df by pigeonhole — usually a
+        # small table, but NOT bounded at the 10^12-doc design point
+        # (10^14 exploded rows / 1000 can exceed any broadcast limit),
+        # so no F.broadcast hint: AQE converts the anti-join to a
+        # broadcast at runtime whenever the hot side measures small,
+        # and falls back to a shuffle join when it doesn't — instead
+        # of a forced broadcast failing the job at scale
         hot = (
             exploded.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("gram")
         )
-        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
+        exploded = exploded.join(hot, "gram", "left_anti")
 
     # eager persist: BOTH self-join sides reference the pruned explode,
     # and a lazy cache inside one job lets the two sides race past it
@@ -455,8 +464,13 @@ def simhash_dup_pairs(
     # token-less docs (NULL/empty/whitespace-only) carry no simhash
     # signal — every pair of them would trivially collide at hamming 0.
     # Excluding them also keeps the SQL oracle (which unnests tokens and
-    # so never sees these docs) aligned with the engine.
-    sh = df.filter(F.trim(F.col(text_col)) != "").select(
+    # so never sees these docs) aligned with the engine. The check must
+    # strip ALL whitespace, not F.trim (spaces only): a '\n'-only doc
+    # passed the old trim guard, simhashed to 0, and every pair of such
+    # docs came back as a hamming-0 duplicate.
+    sh = df.filter(
+        F.regexp_replace(F.col(text_col), r"\s", "") != ""
+    ).select(
         F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")
     )
     banded = sh.select(
@@ -467,9 +481,15 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("sh"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
+                        # width == 64 (max_hamming=0): the full hash IS
+                        # the chunk — (1<<64)-1 overflows a Java long,
+                        # and no mask is needed after a 0-bit shift
+                        (
+                            F.col("sh")
+                            if width == 64
+                            else F.shiftrightunsigned(F.col("sh"), i * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                        ).alias("chunk"),
                     )
                     for i in range(chunks)
                 ]
@@ -526,7 +546,6 @@ def embedding_neardup_pairs(
         lsh_bucket_tables,
     )
 
-    a_ids = F.col("id_a")
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -564,7 +583,7 @@ def embedding_neardup_pairs(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            a_ids, "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine")
+            "id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -736,7 +755,15 @@ def exact_dedup_incremental(
     guarantee uniqueness should pre-aggregate; the check is not done
     here because it would cost a full extra aggregation per batch on
     what is a registry-enforced property upstream."""
-    hashed = new_df.withColumn("content_md5", F.md5(F.col(text_col)))
+    # NULL text: md5(NULL) is NULL, and NULL keys never match an
+    # equality anti-join — every batch would re-admit one NULL-text
+    # row forever, diverging from the one-shot path (whose groupBy
+    # treats NULLs as one group). Coalesce to '' — impossible as a
+    # real digest (md5 hex is always 32 chars) — so NULL-text content
+    # is one content class across snapshots too.
+    hashed = new_df.withColumn(
+        "content_md5", F.coalesce(F.md5(F.col(text_col)), F.lit(""))
+    )
     fresh = hashed.join(
         seen_hashes.select("content_md5"), "content_md5", "left_anti"
     )
@@ -779,6 +806,12 @@ def decontaminate(
     false."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    for c in ("n_contaminated_grams", "contaminated", "__toks"):
+        if c in train_df.columns:
+            # re-flagging an already-flagged corpus against a new
+            # benchmark: the left join would otherwise produce an
+            # ambiguous duplicate column / silent overwrite
+            raise ValueError(f"decontaminate reserves column name {c!r}")
     # project tokens_col FIRST (ngrams_from_tokens contract): the HOF
     # lambda re-evaluates its argument per gram index, so an inline
     # split() would re-tokenize every doc once per gram
@@ -1125,9 +1158,13 @@ def dedup_substrings(
     threshold; single-node suffix arrays don't distribute, so the
     distributed equivalent is k-token window fingerprints).
 
-    Semantics: tokenize on single spaces (``split(trim(text), ' ')``
-    dropping empties — the engine-portable tokenization every corpus
-    kernel here shares); every k-token window gets an md5 fingerprint;
+    Semantics: tokenize on WHITESPACE runs (``split(text, '\\s+')``
+    dropping empties): a repeat re-wrapped with newlines/tabs instead
+    of spaces — precisely the re-wrapped boilerplate this operator
+    exists to catch — must fingerprint identically to its space-joined
+    first occurrence, which single-space tokenization would miss
+    (tokens like ``'w10\\nw11'`` hash differently). Every k-token
+    window gets an md5 fingerprint;
     the window's FIRST occurrence is ``min(struct(id, pos))`` — a
     property of the data, not of scan order, so any partitioning
     replays the same survivor set (``id_col`` must be unique, same
@@ -1185,17 +1222,13 @@ def dedup_substrings(
     if out_col == "n_removed_tokens":
         raise ValueError("dedup_substrings: out_col may not be 'n_removed_tokens'")
 
-    # small-input parallelization guard: a corpus that arrives in
-    # fewer splits than the session has cores would run the whole
-    # fingerprint scan on those few tasks; one up-front round-robin
-    # repartition fixes that, and the guard keeps it away from real
-    # multi-thousand-split tables where it would only add a shuffle
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # small-input parallelization guard (no-op on real multi-split
+    # tables): without it the whole fingerprint scan runs on however
+    # few tasks a single small file yields
+    df = _spread(df)
 
     toks = F.filter(
-        F.split(F.trim(F.col(text_col)), " ", -1), lambda x: x != ""
+        F.split(F.col(text_col), r"\s+", -1), lambda x: x != ""
     )
     base = df.withColumn("__toks", toks)
 

@@ -35,7 +35,15 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine with the engine-wide zero-norm convention: a zero-norm
+    vector has cosine 0.0 with everything (denominator norms of 0 are
+    replaced by 1; the numerator dot is 0) — never NaN. Without the
+    guard the 0/0 NaN passes ``>= threshold`` filters (Spark orders
+    NaN above all doubles), so two zero vectors would be reported as
+    near-duplicates with cosine NaN. Same convention as semantic_dedup
+    and the oracle CASE guards."""
+    den = norm_expr(a) * norm_expr(b)
+    return dot_expr(a, b) / F.when(den == 0.0, F.lit(1.0)).otherwise(den)
 
 
 def cosine_udf() -> Column:
@@ -57,9 +65,12 @@ def cosine_udf() -> Column:
         if mask.any():
             A = np.stack(a[mask].to_numpy()).astype("float64")
             B = np.stack(b[mask].to_numpy()).astype("float64")
-            out[mask] = (A * B).sum(axis=1) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
+            # zero-norm convention (see cosine_expr): denominator 0
+            # becomes 1, cosine 0.0 — never a NaN that would pass a
+            # >= threshold filter
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            den[den == 0.0] = 1.0
+            out[mask] = (A * B).sum(axis=1) / den
         return out
 
     return _cos

@@ -528,3 +528,62 @@ def test_chunk_dedup_lockstep_with_newline_tokens(spark):
     assert got["ct"].tolist() == want["ct"].tolist()
     # doc 4's chunks all dedup away; doc 1/2's newline tokens stay atomic
     assert got.loc[got["doc_id"] == 4, "ct"].iloc[0] == ""
+
+
+def test_whitespace_only_docs_and_exact_simhash_band(spark):
+    """Round-5 review: (a) tab/newline-only docs passed the trim guard
+    (F.trim strips spaces only), simhashed to 0, and every pair came
+    back as a hamming-0 dup; (b) max_hamming=0 made width=64 and
+    F.lit((1<<64)-1) overflowed a Java long."""
+    from ballet_spark.operators.dedup import simhash_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "\n\t"), (2, "\n"), (3, "real text here"), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    for mh in (3, 0):
+        pairs = simhash_dup_pairs(df, max_hamming=mh).collect()
+        assert all({r["id_a"], r["id_b"]} == {3, 4} for r in pairs), (mh, pairs)
+        assert len(pairs) == 1, (mh, pairs)
+
+
+def test_zero_norm_vectors_are_not_neardups(spark):
+    """Round-5 review: 0/0 cosine is NaN and Spark evaluates
+    NaN >= threshold as TRUE, so two zero embeddings (which share
+    every SRP bucket) were reported as near-duplicates. The engine
+    convention is zero-norm => cosine 0.0 (as in semantic_dedup)."""
+    from ballet_spark.operators.dedup import embedding_neardup_pairs
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [0.0] * 8), (3, [1.0] * 8), (4, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    for exact in (False, True):
+        pairs = embedding_neardup_pairs(
+            vecs, dim=8, threshold=0.95, exact=exact
+        ).collect()
+        assert all({r["id_a"], r["id_b"]} == {3, 4} for r in pairs), pairs
+
+
+def test_incremental_exact_dedup_null_text_across_batches(spark):
+    """Round-5 review: md5(NULL) is NULL and NULL keys never match the
+    anti-join, so every batch re-admitted one NULL-text row forever —
+    diverging from the one-shot path's NULL-as-one-group semantics."""
+    from ballet_spark.operators.dedup import exact_dedup_incremental
+
+    seen = spark.createDataFrame([], "content_md5 string")
+    b1 = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    kept1, h1 = exact_dedup_incremental(b1, seen)
+    assert kept1.count() == 2
+    b2 = spark.createDataFrame([(3, None), (4, "x")], "doc_id long, text string")
+    kept2, _ = exact_dedup_incremental(b2, seen.unionByName(h1))
+    assert kept2.count() == 0
+
+
+def test_decontaminate_reserved_names(spark):
+    from ballet_spark.operators.dedup import decontaminate
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in ("n_contaminated_grams", "contaminated", "__toks"):
+        with pytest.raises(ValueError, match="reserves"):
+            decontaminate(df.withColumn(bad, F.lit(1)), df)

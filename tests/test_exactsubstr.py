@@ -104,7 +104,7 @@ def test_duckdb_oracle_parity(spark):
     con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = con.execute("""
         WITH d AS (SELECT doc_id,
-                          list_filter(string_split(trim(text), ' '),
+                          list_filter(string_split_regex(text, '\\s+'),
                                       x -> x <> '') AS w
                    FROM docs),
         wins AS (SELECT doc_id, i AS pos,
@@ -132,3 +132,21 @@ def test_duckdb_oracle_parity(spark):
         FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id
     """).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rewrapped_repeat_is_found(spark):
+    """The operator's raison d'être (review round 5): a >=k-token
+    repeat re-wrapped with newlines instead of spaces must fingerprint
+    identically to its space-joined first occurrence."""
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 tail one"),
+        (2, "head w1 w2\nw3 w4\tw5 w6 other"),  # same 6-token span, re-wrapped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        dedup_substrings(df, k=5, out_col="cleaned")
+        .orderBy("doc_id").collect()
+    )
+    assert out[0]["n_removed_tokens"] == 0
+    assert out[1]["n_removed_tokens"] == 6
+    assert out[1]["cleaned"] == "head other"
