@@ -1076,7 +1076,13 @@ def semantic_dedup(
     from ballet_spark.operators.similarity import ivf_assign
 
     id_t = df.schema[id_col].dataType.simpleString()
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NULL embeddings can't be clustered or scored: drop them here
+    # (ivf_assign gives them centroid NULL; letting that group reach
+    # the kernel would crash its np.stack). A NULL-embedding row is
+    # absent from the output — it is never a duplicate of anything.
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
+        F.col("v").isNotNull()
+    )
     tagged = ivf_assign(base, cents, vec_col="v", out_col="centroid_id")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -131,6 +131,15 @@ def pack_sequences(
     """Assign every document a (shard, pack_id, offset_in_pack) under
     concat-and-chunk packing with a fixed token ``budget`` per pack.
 
+    INVARIANT: ``id_col`` values must be UNIQUE (the dedup_lines /
+    exact_dedup_incremental contract). The running sums use the RANGE
+    frame over ``ORDER BY id``, so duplicate ids are window PEERS —
+    both copies would silently receive the same overlapping start
+    offset. Feeding :func:`apply_mixing` output (which emits
+    ``n_copies`` rows per doc) requires a composite key first, e.g.
+    ``concat_ws('#', doc_id, copy_id)`` — exactly what
+    ``curation_pipeline_v2`` does.
+
     Within a shard, docs are ordered by id; ``offset_in_pack`` is the
     doc's start position inside its pack and ``crosses_boundary`` marks
     docs that straddle into the next pack (a downstream tokenizer
@@ -165,6 +174,10 @@ def pack_sequences(
     the (documented) doc order, never pack arithmetic.
     ``salt_chunks=None`` (default) keeps the original ``id``-ordered
     single-window semantics bit-for-bit."""
+    if int(budget) < 1:
+        # budget=0 would make `start DIV 0` / `start % 0` return NULL
+        # for every row in non-ANSI Spark — silent corruption
+        raise ValueError(f"budget must be >= 1, got {budget}")
     n_tok = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
@@ -244,9 +257,15 @@ def mixing_weights(
     IEEE divisions of exact integers (weight = target·total/n_tokens,
     written as one expression), so any engine reproduces the doubles
     bit-for-bit."""
+    # coalesce: a group whose texts are ALL NULL sums to NULL, which
+    # would silently NULL its weight and make apply_mixing drop the
+    # whole group; with 0 the share is 0 and the weight is explicitly
+    # +inf/NaN-free NULL below only when truly undefined
     per = df.groupBy(F.col(by).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count_col(text_col)).alias("n_tokens"),
+        F.coalesce(F.sum(token_count_col(text_col)), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
     # corpus total via a broadcast 1-row cross join, NOT a global
     # window: a window with no partition key funnels every group row
@@ -267,5 +286,10 @@ def mixing_weights(
         "n_docs",
         "n_tokens",
         (F.col("n_tokens").cast("double") / total).alias("share"),
-        (tgt * total / F.col("n_tokens")).alias("weight"),
+        # a zero-token group cannot be upsampled to any positive
+        # target: weight is NULL (explicitly undefined, surfaced to
+        # the caller) rather than a division blow-up or a silent drop
+        F.when(
+            F.col("n_tokens") > 0, tgt * total / F.col("n_tokens")
+        ).alias("weight"),
     )

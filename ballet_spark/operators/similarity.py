@@ -98,16 +98,37 @@ def cosine_topk(
 
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).toPandas()
+    ).dropna().toPandas()
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    ct = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qt}, neighbor_id {ct}, cosine double"
+    if not len(q_pdf):
+        # no (non-NULL) queries: an empty top-k frame, not a
+        # np.stack ValueError on the driver
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(0))
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
     q_ids = np.asarray(q_pdf["query_id"])
     q_mat = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
     q_norm = np.linalg.norm(q_mat, axis=1)
+    # engine-wide zero-norm convention (see cosine_expr): a zero-norm
+    # vector has cosine 0.0 with everything — without the guard 0/0
+    # NaNs rank FIRST under F.desc (Spark orders NaN above all
+    # doubles), so a zero query would return arbitrary 'top' neighbors
+    q_norm[q_norm == 0.0] = 1.0
 
     def score(iterator):
         for pdf in iterator:
+            keep = pdf["cv"].notna()
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
             ids = pdf["neighbor_id"].to_numpy()
             c_mat = np.stack(pdf["cv"].to_numpy()).astype("float64")
             c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0.0] = 1.0
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # |batch|×|q|
             frames = []
             for j, qid in enumerate(q_ids):
@@ -134,12 +155,18 @@ def cosine_topk(
     # primary entity key — a hardcoded `long` schema would fail the
     # Arrow conversion for them)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    qt = queries.schema[query_id_col].dataType.simpleString()
-    ct = corpus.schema[id_col].dataType.simpleString()
-    scored = c.mapInPandas(
-        score, f"query_id {qt}, neighbor_id {ct}, cosine double"
+    scored = c.mapInPandas(score, out_schema)
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query over a (query_id, neighbor_id, cosine)
+    frame — deterministic ties (cosine desc, neighbor_id asc). The one
+    ranking/output contract every top-k path shares (brute, LSH, IVF),
+    so a tie-break or schema change happens in exactly one place."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -185,10 +212,20 @@ def _bucket_udf(planes):
     weights = (1 << np.arange(b)).astype(np.int64)
 
     def _kernel(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        # NULL embeddings bucket to NULL (row drops out of candidate
+        # generation) instead of np.stack raising on a ragged batch
+        # and killing the job — cosine_udf's own NULL contract
+        mask = vs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vs), dtype=object)
+        M = np.stack(vs[mask].to_numpy()).astype(np.float64)  # (n, dim)
         bits = (M @ flat.T > 0).astype(np.int64).reshape(len(M), L, b)
-        buckets = bits @ weights  # (n, L)
-        return pd.Series(list(buckets))
+        buckets = iter(bits @ weights)  # (n, L)
+        # plain list build: pandas masked setitem with a list of
+        # arrays mis-aligns ("cannot assign mismatch length")
+        return pd.Series(
+            [next(buckets) if ok else None for ok in mask], dtype=object
+        )
 
     return F.pandas_udf(_kernel, "array<long>")
 
@@ -295,12 +332,7 @@ def cosine_topk_lsh(
             cosine_udf()(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -335,12 +367,16 @@ def ivf_fit(
 
     seed_rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .where(F.col(vec_col).isNotNull())
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(int(sample_limit))
     ).persist()
-    cents = np.stack(
-        [r["v"] for r in seed_rows.limit(n_centroids).collect()]
-    ).astype("float64")
+    seeds = [r["v"] for r in seed_rows.limit(n_centroids).collect()]
+    if not seeds:
+        raise ValueError(
+            "ivf_fit: corpus has no non-NULL embeddings to seed centroids"
+        )
+    cents = np.stack(seeds).astype("float64")
     k, dim = cents.shape
 
     for _ in range(n_iter):
@@ -377,9 +413,10 @@ def _partial_sums_fn(cents):
         n = np.zeros(k, dtype=np.int64)
         s = np.zeros((k, dim), dtype=np.float64)
         for pdf in batches:
-            if not len(pdf):
+            vs = pdf["v"][pdf["v"].notna()]  # NULL vectors carry no mass
+            if not len(vs):
                 continue
-            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            M = np.stack(vs.to_numpy()).astype(np.float64)
             a = np.argmin(c_sq[None, :] - 2.0 * (M @ C.T), axis=1)
             np.add.at(n, a, 1)
             np.add.at(s, a, M)
@@ -399,10 +436,16 @@ def _assign_udf(cents):
     c_sq = (C * C).sum(axis=1)
 
     def _kernel(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
-        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
-        d = c_sq[None, :] - 2.0 * (M @ C.T)
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+        # NULL embeddings assign to NULL (excluded from any list)
+        # rather than np.stack killing the job on a ragged batch
+        mask = vs.notna()
+        out = pd.Series([None] * len(vs), dtype="Int32")
+        if mask.any():
+            M = np.stack(vs[mask].to_numpy()).astype(np.float64)  # (n, dim)
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+            d = c_sq[None, :] - 2.0 * (M @ C.T)
+            out[mask] = np.argmin(d, axis=1).astype("int32")
+        return out
 
     return F.pandas_udf(_kernel, "int")
 
@@ -442,7 +485,15 @@ def ivf_topk(
     C = np.asarray(cents, dtype=np.float64)
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).toPandas()
+    ).dropna().toPandas()
+    if not len(q_pdf):
+        # no (non-NULL) queries → empty top-k frame, not a driver
+        # np.stack ValueError
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        ct = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {ct}, rank int, cosine double"
+        )
     Q = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
     d = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
     # stable sort: distance ties break on centroid id, so the probe set
@@ -481,9 +532,4 @@ def ivf_topk(
         "neighbor_id",
         cosine_udf()(F.col("qv"), F.col("cv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)

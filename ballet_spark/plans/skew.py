@@ -70,7 +70,9 @@ def head_keys(
             )
             rows = rows[:HEAD_KEYS_HARD_CAP]
     else:
-        rows = counts.orderBy(F.desc("n"), F.asc(key)).limit(top_k or 100).collect()
+        rows = counts.orderBy(F.desc("n"), F.asc(key)).limit(
+            100 if top_k is None else int(top_k)
+        ).collect()
     return [r[key] for r in rows]
 
 
@@ -140,7 +142,18 @@ def salted_agg(
 ):
     """Two-phase salted aggregation returning per-key
     (sum, count, min, max) — the merge-able core; deterministic salt
-    from the time column (or the value column) hash."""
+    from the time column (or the value column) hash.
+
+    HONESTY NOTE on when to reach for this: for these algebraic
+    aggregates Catalyst's map-side partial aggregation ALREADY bounds
+    what a hot key's final reducer receives (≤ one partial row per map
+    task), so a plain ``df.groupBy(key).agg(...)`` does one exchange
+    where this does two — prefer the plain form for sum/count/min/max.
+    The salted shape earns its second shuffle when the per-key STATE
+    is not a constant-size partial: collect_list/collect_set,
+    exact countDistinct, large typed-imperative UDAFs — or when
+    partial aggregation is defeated (e.g. first-agg-after-expand).
+    It is kept as the template those states drop into."""
     salt_src = time_col or agg_col
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
@@ -185,6 +198,18 @@ _RUN_MERGE = {
     "min": lambda carry, local: F.least(carry, local),
     "max": lambda carry, local: F.greatest(carry, local),
 }
+
+
+def _check_reserved(df, aggs, out_prefix, fn_name):
+    """Internal/output column collisions fail fast: a pre-existing
+    __chunk/__ghost would be silently overwritten in the head branch
+    only (mixed garbage), and a pre-existing <prefix>_<agg> column
+    makes the head-path merge ambiguous (AnalysisException deep in the
+    plan). Same convention as apply_mixing/dedup_lines."""
+    reserved = {"__chunk", "__ghost"} | {f"{out_prefix}_{a}" for a in aggs}
+    for c in reserved:
+        if c in df.columns:
+            raise ValueError(f"{fn_name} reserves column name {c!r}")
 
 
 def salted_running_agg(
@@ -234,6 +259,7 @@ def salted_running_agg(
         raise ValueError(f"unsupported running aggs {bad}: {sorted(_RUN_PARTIALS)}")
     if chunk_seconds < 1:
         raise ValueError("chunk_seconds must be >= 1")
+    _check_reserved(df, aggs, out_prefix, "salted_running_agg")
     if head is None:
         head = head_keys(df, key=key, top_k=top_k)
     epoch = F.col(time_col).cast("timestamp").cast("double")
@@ -338,6 +364,7 @@ def salted_rolling_agg(
     bad = [a for a in aggs if a not in _RUN_PARTIALS]
     if bad:
         raise ValueError(f"unsupported rolling aggs {bad}: {sorted(_RUN_PARTIALS)}")
+    _check_reserved(df, aggs, out_prefix, "salted_rolling_agg")
     if duration_s < 0:
         raise ValueError("duration_s must be >= 0")
     if chunk_seconds is None:

@@ -587,3 +587,67 @@ def test_decontaminate_reserved_names(spark):
     for bad in ("n_contaminated_grams", "contaminated", "__toks"):
         with pytest.raises(ValueError, match="reserves"):
             decontaminate(df.withColumn(bad, F.lit(1)), df)
+
+
+def test_similarity_null_and_zero_vectors(spark):
+    """Round-5 review: NULL embeddings crashed every np.stack kernel
+    (bucket/assign/partial-sums/cosine_topk) and zero-norm queries
+    ranked NaN cosines FIRST under desc ordering."""
+    import numpy as np
+
+    from ballet_spark.operators.dedup import semantic_dedup
+    from ballet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_fit,
+        lsh_bucket_tables,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, None), (3, [1.0] * 8), (4, [0.9] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(vecs, vecs, k=2).collect()
+    assert out and all(r["cosine"] == r["cosine"] for r in out)  # no NaN
+    # empty / all-NULL queries yield an empty frame, not a ValueError
+    assert cosine_topk(
+        vecs, spark.createDataFrame([], "vec_id long, embedding array<double>"), k=2
+    ).count() == 0
+    cents = ivf_fit(vecs, n_centroids=2, n_iter=1)
+    assert (
+        ivf_assign(vecs, cents).where(F.col("vec_id") == 2).first()["centroid_id"]
+        is None
+    )
+    assert lsh_bucket_tables(vecs, dim=8).where(F.col("vec_id") == 2).count() == 0
+    assert semantic_dedup(vecs, np.stack([[1.0] * 8])).count() == 3
+
+
+def test_salted_agg_reserved_names_and_topk_zero(spark, webtext_df):
+    from ballet_spark.plans.skew import head_keys, salted_running_agg
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    for bad in ("__chunk", "__ghost", "run_sum"):
+        with pytest.raises(ValueError, match="reserves"):
+            salted_running_agg(
+                df.withColumn(bad, F.lit(1)), "url", "ts", "v", head=["a"]
+            )
+    # top_k=0 disables the head split instead of silently becoming 100
+    assert head_keys(df, key="url", top_k=0) == []
+
+
+def test_packing_budget_and_null_token_groups(spark):
+    from ballet_spark.operators.packing import mixing_weights, pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+    dfl = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "zz", None)], "doc_id long, lang string, text string"
+    )
+    w = {r["grp"]: r for r in mixing_weights(dfl, {"en": 0.5, "zz": 0.5}).collect()}
+    assert w["zz"]["n_tokens"] == 0 and w["zz"]["weight"] is None
+    assert w["en"]["weight"] is not None
