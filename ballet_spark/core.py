@@ -88,10 +88,14 @@ def _code_key(code) -> str:
     """Canonical process-stable string for a code object. Nested
     code objects (a lambda/genexp inside the function) appear in
     ``co_consts``, and their default repr embeds a memory address —
-    recurse into them instead of repr-ing them."""
+    recurse into them instead of repr-ing them. Non-code consts go
+    through ``_value_key``, NOT repr: a frozenset constant (compiled
+    from an ``x in {...}`` literal) reprs in hash order, which varies
+    with PYTHONHASHSEED — exactly the cross-process instability this
+    function exists to prevent (_value_key sorts set elements)."""
     parts = [code.co_code.hex()]
     for c in code.co_consts:
-        parts.append(_code_key(c) if hasattr(c, "co_code") else repr(c))
+        parts.append(_code_key(c) if hasattr(c, "co_code") else _value_key(c))
     parts.extend(code.co_names)
     return "(" + ",".join(parts) + ")"
 
@@ -408,6 +412,11 @@ class EncoderPipeline:
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if not hasattr(self, "_ctx"):
+            raise RuntimeError(
+                "EncoderPipeline.transform called before fit — call "
+                "fit(df) (or fit_transform) first"
+            )
         out, names = self._tr.transform_df(df, [self.y_col], "y_encoded", self._ctx)
         return out.select(*df.columns, *[F.col(n) for n in names])
 

@@ -58,6 +58,13 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     value_cols = list(value_cols)
     _check_collisions(left, value_cols, suffix)
+    # a right row with NULL event time can never be "the latest as of
+    # t": filter up front so every path (window, broadcast, history)
+    # shares the semantic — NULLS FIRST ordering would otherwise park
+    # such rows at the start of the window path's frame and
+    # last(ignorenulls) would surface values of unknown time
+    # (leakage), diverging from the broadcast path's __hts <= lts
+    right = right.where(F.col(right_ts).isNotNull())
 
     left_cols = [c for c in left.columns if c not in (on, left_ts)]
     left_types = dict(left.dtypes)
@@ -70,8 +77,17 @@ def asof_join(
     # window orders by (__ts, __side, __vals), so among equal-ts right
     # rows the max value tuple wins — exactly what the broadcast path's
     # sort_array + element_at(-1) picks.
+    # __mts carries right_ts's ORIGINAL type when the two ts columns
+    # share a type (the same pass-through rule as __ts below): an
+    # unconditional cast("timestamp") would throw under ANSI (or
+    # silently NULL in legacy mode) for same-typed non-ISO string
+    # timestamps, e.g. 14-digit WARC stamps
+    same_ts_type = left.schema[left_ts].dataType == right.schema[right_ts].dataType
+    mts_type = (
+        right.schema[right_ts].dataType if same_ts_type else TimestampType()
+    )
     vals_type = StructType(
-        [StructField("__mts", TimestampType())]
+        [StructField("__mts", mts_type)]
         + [StructField(v, right.schema[v].dataType) for v in value_cols]
     )
     # order on a COMMON __ts type: when the two ts columns' types
@@ -79,7 +95,6 @@ def asof_join(
     # string) and the as-of ordering silently turns lexicographic —
     # cast both to timestamp instead. The probe's ORIGINAL left_ts
     # column is carried through untouched either way.
-    same_ts_type = left.schema[left_ts].dataType == right.schema[right_ts].dataType
     lts = F.col(left_ts) if same_ts_type else F.col(left_ts).cast("timestamp")
     rts = F.col(right_ts) if same_ts_type else F.col(right_ts).cast("timestamp")
 
@@ -95,10 +110,10 @@ def asof_join(
         F.col(on),
         rts.alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(dict(left.dtypes)[left_ts]).alias("__lts"),
+        F.lit(None).cast(left_types[left_ts]).alias("__lts"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_cols],
         F.struct(
-            F.col(right_ts).cast("timestamp").alias("__mts"),
+            rts.alias("__mts"),
             *[F.col(v).alias(v) for v in value_cols],
         ).alias("__vals"),
     )
@@ -122,9 +137,12 @@ def asof_join(
         # carry microseconds) and matches the oracle's exact epoch();
         # unix_timestamp would floor to whole seconds and misclassify
         # gaps near the tolerance boundary
+        # __mts may carry the right_ts ORIGINAL type (same-type
+        # pass-through above) — e.g. timestamp_ntz, which cannot cast
+        # straight to double; route through timestamp first
         in_tol = (
             F.col("__ts").cast("timestamp").cast("double")
-            - m["__mts"].cast("double")
+            - m["__mts"].cast("timestamp").cast("double")
         ) <= F.lit(float(tolerance_s))
         m = F.when(in_tol, F.col("__m"))
 
@@ -140,12 +158,30 @@ def asof_join(
 def _check_collisions(left: DataFrame, value_cols, suffix: str) -> None:
     """Fail loudly when the suffixed value columns would duplicate a
     left column name — a silent duplicate makes every later by-name
-    reference raise AMBIGUOUS_REFERENCE far from the cause."""
+    reference raise AMBIGUOUS_REFERENCE far from the cause. Also
+    covers the join's own output/internal names: chaining as-of joins
+    (a left side still carrying __matched_ts from a prior join, or
+    value_cols including one) would otherwise emit duplicate
+    __matched_ts columns that fail far from the cause."""
     dup = {f"{v}{suffix}" for v in value_cols} & set(left.columns)
     if dup:
         raise ValueError(
             f"right value column(s) {sorted(dup)} collide with left "
             f"columns; pass suffix= (or value_cols=) to disambiguate"
+        )
+    internal = {"__ts", "__side", "__vals", "__lts", "__m", "__matched_ts"}
+    bad = internal & set(left.columns)
+    if bad:
+        raise ValueError(
+            f"asof join reserves column name(s) {sorted(bad)} on the "
+            "left side; drop or rename them first (e.g. the "
+            "__matched_ts of a previous as-of join)"
+        )
+    bad_v = internal & set(value_cols)
+    if bad_v:
+        raise ValueError(
+            f"value_cols may not include reserved name(s) {sorted(bad_v)}; "
+            "rename them on the right side first"
         )
 
 
@@ -178,6 +214,13 @@ def asof_join_broadcast(
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     value_cols = list(value_cols)
     _check_collisions(left, value_cols, suffix)
+    # a right row with NULL event time can never be "the latest as of
+    # t": filter up front so every path (window, broadcast, history)
+    # shares the semantic — NULLS FIRST ordering would otherwise park
+    # such rows at the start of the window path's frame and
+    # last(ignorenulls) would surface values of unknown time
+    # (leakage), diverging from the broadcast path's __hts <= lts
+    right = right.where(F.col(right_ts).isNotNull())
 
     hist = entity_history(right, on, right_ts, value_cols)
     return asof_join_history(
@@ -229,6 +272,9 @@ def asof_join_history(
         ]
     value_cols = list(value_cols)
     _check_collisions(left, value_cols, suffix)
+    # NULL __hts entries need no filter here: the __hts <= lts
+    # eligibility predicate below is NULL-false, so unknown-time
+    # history rows can never match (same semantic as asof_join)
     joined = left.join(F.broadcast(hist), on, "left")
     lts = F.col(left_ts).cast("timestamp")
     elig = F.filter(F.col("__hist"), lambda s: s["__hts"] <= lts)

@@ -38,7 +38,17 @@ from ballet_spark.operators.base import SparkTransformer
 
 
 def entity_window(ctx) -> WindowSpec:
-    """Canonical per-entity event-time window (url, warc_ts)."""
+    """Canonical per-entity event-time window (url, warc_ts).
+
+    UNIQUENESS CONTRACT: one row per (entity, time) — the
+    point-in-time snapshot key the whole engine computes features AT
+    (the north rule's "feature matrix at each (url, warc_ts)").
+    Rows with tied (entity, time) have no defined relative order, so
+    row_number-derived features (SnapshotIndex, Trend's index,
+    FourierFeatures' phase) would be nondeterministic across
+    runs/retries. The driver tables satisfy the contract; event-grain
+    data must be aggregated to snapshot grain (or given a composite
+    time key) before entering a pipeline."""
     return Window.partitionBy(ctx.entity_col).orderBy(ctx.time_col)
 
 
@@ -118,6 +128,10 @@ class Rolling(SparkTransformer):
     def __init__(self, agg: str = "mean", window: int = 3, end_offset: int = 0):
         if agg not in _ROLL_FNS:
             raise ValueError(f"agg must be one of {sorted(_ROLL_FNS)}")
+        if window < 1:
+            # window=0 builds an inverted rowsBetween(1, 0) frame that
+            # Spark treats as empty — every output silently NULL
+            raise ValueError(f"window must be >= 1, got {window}")
         self.agg = agg
         self.window = window
         self.end_offset = end_offset

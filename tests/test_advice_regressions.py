@@ -651,3 +651,97 @@ def test_packing_budget_and_null_token_groups(spark):
     w = {r["grp"]: r for r in mixing_weights(dfl, {"en": 0.5, "zz": 0.5}).collect()}
     assert w["zz"]["n_tokens"] == 0 and w["zz"]["weight"] is None
     assert w["en"]["weight"] is not None
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """Round-5 review: NULL-ts right rows sorted FIRST in the window
+    path's union frame and last(ignorenulls) surfaced their values for
+    probes with no true predecessor — data of unknown time (leakage),
+    and a divergence from the broadcast path."""
+    from ballet_spark.operators.asof import asof_join, asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-02 00:00:00")], "url string, ts string"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("a", None, 99.0)], "url string, warc_ts string, val double"
+    ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "val")
+    for fn in (asof_join, asof_join_broadcast):
+        row = fn(left, right).first()
+        assert row["val"] is None and row["__matched_ts"] is None, (fn, row)
+
+
+def test_asof_same_typed_string_timestamps(spark):
+    """Round-5 review: __mts was unconditionally cast('timestamp'),
+    crashing under ANSI (silently NULLing in legacy mode) for
+    same-typed non-ISO string timestamps — 14-digit WARC stamps are
+    the module's own stated domain."""
+    from ballet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "20240102000000")], "url string, ts string"
+    )
+    right = spark.createDataFrame(
+        [("a", "20240101000000", 7.0)], "url string, warc_ts string, val double"
+    )
+    row = asof_join(left, right).first()
+    assert row["val"] == 7.0 and row["__matched_ts"] == "20240101000000"
+
+
+def test_asof_chaining_reserved_guard(spark):
+    from ballet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-02 00:00:00")], "url string, ts string"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 7.0)],
+        "url string, warc_ts string, val double",
+    ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "val")
+    j1 = asof_join(left, right)
+    right2 = right.select("url", "warc_ts", F.col("val").alias("val2"))
+    with pytest.raises(ValueError, match="__matched_ts"):
+        asof_join(j1, right2)
+    # the documented recovery: drop the prior match stamp
+    assert asof_join(j1.drop("__matched_ts"), right2).first()["val2"] == 7.0
+
+
+def test_callable_hash_frozenset_stable():
+    """Round-5 review: frozenset co_consts repr'd in hash order, so
+    auto feature names differed across PYTHONHASHSEED processes —
+    breaking materialize resume. Non-code consts now go through
+    _value_key (sorted sets)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from ballet_spark.core import _hash_callable\n"
+        "fn = lambda x: x in {'alpha','beta','gamma','delta','epsilon'}\n"
+        "print(_hash_callable(fn))\n"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+            capture_output=True, text=True,
+        ).stdout.strip()
+        for seed in ("1", "2", "3")
+    }
+    assert len(outs) == 1 and outs != {""}, outs
+
+
+def test_rolling_window_validation():
+    from ballet_spark.operators.window_ops import Rolling
+
+    with pytest.raises(ValueError, match="window"):
+        Rolling("sum", window=0)
+
+
+def test_encoder_pipeline_unfitted_error(spark):
+    from ballet_spark.core import EncoderPipeline
+    from ballet_spark.operators.base import Identity
+
+    df = spark.createDataFrame([(1.0,)], "y double")
+    with pytest.raises(RuntimeError, match="before fit"):
+        EncoderPipeline([Identity()]).transform(df)
