@@ -53,10 +53,14 @@ def char_count(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization; empty/blank string ⇒ 0 tokens."""
+    """Whitespace tokens; empty/blank ⇒ 0, NULL ⇒ NULL. Empties from
+    the split are FILTERED: ``F.trim`` strips only spaces, so text
+    with leading/trailing newlines/tabs would otherwise count phantom
+    '' tokens ('hello\\n' → 2) — the same pitfall
+    ``dedup.tokens_col`` documents."""
     trimmed = F.trim(text)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.filter(F.split(trimmed, r"\s+"), lambda x: x != ""))
     ).cast("bigint")
 
 
@@ -70,22 +74,35 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(word_tokens(text)).cast("bigint")
 
 
+def _safe_ratio(num: Column, n: Column) -> Column:
+    """num/n for n>0, 0.0 for n==0, NULL for NULL text — a NULL doc
+    must NOT score as 'perfectly clean prose' (ratio 0.0) while the
+    count kernels return NULL for the same row."""
+    return F.when(n > 0, num.cast("double") / n.cast("double")).when(
+        n == 0, F.lit(0.0)
+    )
+
+
 def digit_ratio(text: Column) -> Column:
     n = F.length(text)
     digits = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    return F.when(n > 0, digits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return _safe_ratio(digits, n)
 
 
 def punct_ratio(text: Column) -> Column:
+    # ASCII \w on purpose: this is the Java∩RE2 portable regex subset
+    # (the PII kernels' rule) so DuckDB oracles replay the identical
+    # count. Unicode-aware \w ((?U), unsupported by RE2) would change
+    # non-ASCII prose scores engine-side only.
     n = F.length(text)
     punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return _safe_ratio(punct, n)
 
 
 def upper_ratio(text: Column) -> Column:
     n = F.length(text)
     upper = n - F.length(F.regexp_replace(text, r"[A-Z]", ""))
-    return F.when(n > 0, upper.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return _safe_ratio(upper, n)
 
 
 def mean_word_len(text: Column) -> Column:
@@ -112,7 +129,7 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = token_count(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return _safe_ratio(hits, n)
 
 
 def quality_score(text: Column) -> Column:

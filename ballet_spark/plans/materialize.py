@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "feature_set string, input_snapshot string, unit int, "
-    "row_count long, digest long, completed_at double"
+    "row_count long, digest long, completed_at double, n_units int"
 )
 
 # north-rule lineage granularity: one row per (feature id, snapshot,
@@ -93,7 +93,14 @@ def feature_set_id(features: Sequence) -> str:
             return f"{type(v).__module__}.{type(v).__qualname__}({state})"
         if callable(v):
             return _hash_callable(v)
-        return repr(v)
+        # __slots__ objects / compiled patterns / anything without
+        # __dict__: _value_key masks hex addresses and orders
+        # sets/dicts, so the id stays process-stable (a bare repr()
+        # would reintroduce the per-process-address instability this
+        # function's docstring warns about)
+        from ballet_spark.core import _value_key
+
+        return _value_key(v)
 
     parts = "|".join(
         f"{f.name}:{f.alias}:"
@@ -109,20 +116,41 @@ def _unit_expr(entity_col: str, n_units: int):
 
 
 def completed_units(
-    spark: SparkSession, lineage_path: str, fset: str, snapshot: str
+    spark: SparkSession, lineage_path: str, fset: str, snapshot: str,
+    n_units: int | None = None,
 ) -> set[int]:
+    """Units already recorded complete for (fset, snapshot). Only a
+    MISSING lineage table means "first run" — any other read failure
+    (transient FS error, corrupt footer) re-raises: swallowing it
+    would silently recompute every unit and append a duplicate set of
+    lineage rows. With ``n_units`` given, raises if existing rows were
+    written under a DIFFERENT unit count: the pmod layouts are
+    incompatible, and resuming across them would leave entities
+    present in two unit directories at once."""
     try:
         lin = spark.read.parquet(lineage_path)
-    except Exception:
-        return set()
-    rows = (
-        lin.filter(
-            (F.col("feature_set") == fset) & (F.col("input_snapshot") == snapshot)
-        )
-        .select("unit")
-        .distinct()
-        .collect()
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
+    mine = lin.filter(
+        (F.col("feature_set") == fset) & (F.col("input_snapshot") == snapshot)
     )
+    if n_units is not None and "n_units" in lin.columns:
+        seen = {
+            r["n_units"]
+            for r in mine.select("n_units").distinct().collect()
+            if r["n_units"] is not None
+        }
+        if seen - {int(n_units)}:
+            raise ValueError(
+                f"lineage for feature_set={fset} snapshot={snapshot} was "
+                f"written with n_units={sorted(seen)}; resuming with "
+                f"n_units={n_units} would mix incompatible pmod layouts "
+                "— reuse the original n_units or materialize under a "
+                "new snapshot"
+            )
+    rows = mine.select("unit").distinct().collect()
     return {r["unit"] for r in rows}
 
 
@@ -180,7 +208,16 @@ def materialize(
     from ballet_spark.core import FeatureEngineeringPipeline
 
     fset = feature_set_id(features)
-    done = completed_units(spark, lineage_path, fset, input_snapshot)
+    reserved = {"unit", "snapshot", "feature_set"}
+    bad = reserved & {getattr(f, "alias", None) or f.name for f in features}
+    if bad:
+        raise ValueError(
+            f"materialize reserves output column name(s) {sorted(bad)} "
+            "for partition bookkeeping; rename the feature output"
+        )
+    done = completed_units(
+        spark, lineage_path, fset, input_snapshot, n_units=n_units
+    )
     pending = [u for u in range(n_units) if u not in done]
     if not pending:
         # fully-materialized re-run (orchestrator retry): nothing to
@@ -221,10 +258,14 @@ def materialize(
         # previous one.
         matrix = (
             fitted.transform(part)
+            .withColumn("feature_set", F.lit(fset))
             .withColumn("snapshot", F.lit(input_snapshot))
             .withColumn("unit", _unit_expr(entity_col, n_units))
         )
-        feat_cols = [c for c in matrix.columns if c not in ("unit", "snapshot")]
+        feat_cols = [
+            c for c in matrix.columns
+            if c not in ("unit", "snapshot", "feature_set")
+        ]
         # per-FEATURE digest columns (north rule: lineage keyed by
         # feature id): the feature outputs are every matrix column that
         # is not a key/bookkeeping column
@@ -253,10 +294,15 @@ def materialize(
         # dynamic partition overwrite: recomputing a unit REPLACES its
         # directory (idempotent) — a crash between this commit and the
         # lineage append cannot leave a duplicated unit on restart
+        # feature_set leads the partition layout: two feature sets
+        # materialized to the same out_path get DISJOINT partition
+        # trees, so neither's dynamic overwrite can clobber the other
+        # while its lineage still claims "complete" — and read_matrix
+        # can select exactly one set
         (
             observed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("snapshot", "unit")
+            .partitionBy("feature_set", "snapshot", "unit")
             .parquet(out_path)
         )
         metrics = obs.get
@@ -267,7 +313,7 @@ def materialize(
         # every resume re-selects the unit and crashes again
         lineage_rows = [
             (fset, input_snapshot, u, int(metrics[f"n_{u}"] or 0),
-             fold_digest(metrics[f"d_{u}"]), now)
+             fold_digest(metrics[f"d_{u}"]), now, int(n_units))
             for u in batch
         ]
         # FEATURE rows append BEFORE the unit rows: resume keys on the
@@ -303,16 +349,21 @@ def materialize(
 
 
 def read_matrix(
-    spark: SparkSession, out_path: str, snapshot: str | None = None
+    spark: SparkSession, out_path: str, snapshot: str | None = None,
+    feature_set: str | None = None,
 ) -> DataFrame:
-    """Read the materialized matrix (``snapshot=<s>/unit=<u>``
-    partitioned layout). ``snapshot`` is the VERSION-AS-OF read: a
-    partition-pruned scan of exactly that input snapshot's matrix —
-    later materializations never disturb earlier ones. Without it,
-    every snapshot is returned (the ``snapshot`` column disambiguates)."""
+    """Read the materialized matrix
+    (``feature_set=<f>/snapshot=<s>/unit=<u>`` partitioned layout).
+    ``snapshot`` is the VERSION-AS-OF read: a partition-pruned scan of
+    exactly that input snapshot's matrix — later materializations
+    never disturb earlier ones. ``feature_set`` prunes to one feature
+    set when several share the out_path. Without filters, everything
+    is returned (the partition columns disambiguate)."""
     df = spark.read.parquet(out_path)
     if snapshot is not None:
         df = df.filter(F.col("snapshot") == snapshot)
+    if feature_set is not None:
+        df = df.filter(F.col("feature_set") == feature_set)
     return df
 
 

@@ -82,9 +82,19 @@ def stream_sessionize(
     )
 
 
-RUNNING_STATE_SCHEMA = (
-    "count long, n_vals long, total double, last_val string, last_ts double"
-)
+def _running_state_schema(carry_type: str) -> str:
+    """State schema parameterized on the carry column's ACTUAL type —
+    a hardcoded `last_val string` would fail the Arrow conversion on
+    the first micro-batch for any non-string carry column (the
+    docstring promises column roles are parameters)."""
+    return (
+        "count long, n_vals long, total double, "
+        f"last_val {carry_type}, last_ts double"
+    )
+
+
+# the default shape (string carry), kept for callers that reference it
+RUNNING_STATE_SCHEMA = _running_state_schema("string")
 
 
 def _running_fn_factory(entity_col, time_col, value_col, carry_col):
@@ -144,9 +154,10 @@ def stream_running_features(
     roles are parameters; the output entity column keeps its input
     name and type."""
     ent_type = events.schema[entity_col].dataType.simpleString()
+    carry_type = events.schema[carry_col].dataType.simpleString()
     out_schema = (
         f"{entity_col} {ent_type}, count long, "
-        "mean_value double, last_val string"
+        f"mean_value double, last_val {carry_type}"
     )
     return (
         events.withWatermark(time_col, watermark)
@@ -154,7 +165,7 @@ def stream_running_features(
         .applyInPandasWithState(
             _running_fn_factory(entity_col, time_col, value_col, carry_col),
             outputStructType=out_schema,
-            stateStructType=RUNNING_STATE_SCHEMA,
+            stateStructType=_running_state_schema(carry_type),
             outputMode="update",
             timeoutConf="NoTimeout",
         )
