@@ -53,14 +53,18 @@ def char_count(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokens; empty/blank ⇒ 0, NULL ⇒ NULL. Empties from
-    the split are FILTERED: ``F.trim`` strips only spaces, so text
-    with leading/trailing newlines/tabs would otherwise count phantom
-    '' tokens ('hello\\n' → 2) — the same pitfall
-    ``dedup.tokens_col`` documents."""
-    trimmed = F.trim(text)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.filter(F.split(trimmed, r"\s+"), lambda x: x != ""))
+    """Whitespace tokens; empty/blank ⇒ 0, NULL ⇒ NULL. Phantom ''
+    tokens from leading/trailing newlines/tabs ('hello\\n' → 2 — the
+    pitfall ``dedup.tokens_col`` documents) are prevented by stripping
+    ALL edge whitespace with a regexp first: a fully-trimmed string
+    split on ``\\s+`` cannot produce empty tokens (runs collapse), so
+    no post-split filter is needed. Kept as plain codegen-capable
+    expressions on purpose — ``F.filter``/``ArrayFilter`` is
+    CodegenFallback and would drop every text-stat scan out of
+    whole-stage codegen."""
+    cleaned = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(F.length(cleaned) == 0, F.lit(0)).otherwise(
+        F.size(F.split(cleaned, r"\s+"))
     ).cast("bigint")
 
 
