@@ -419,7 +419,11 @@ def quality_scores(spark, sf_dir):
     """Document quality heuristic (length/digit/punct composite)."""
     from ballet_spark.functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    from ballet_spark.cache import spread_small_input
+
+    # single-small-file inputs otherwise run the whole regex-heavy
+    # scoring scan on 1-2 tasks (no-op on real multi-split tables)
+    docs = spread_small_input(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -427,7 +431,9 @@ def lang_id_heuristic(spark, sf_dir):
     """Stopword-voting language ID (n-gram heuristic, pandas kernel)."""
     from ballet_spark.functions.text import lang_id_col
 
-    docs = _t(spark, sf_dir, "documents")
+    from ballet_spark.cache import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
 
 
@@ -1641,9 +1647,14 @@ def pii_redaction_docs(spark, sf_dir):
         F.lit(".4 call 555-867-530"), (d % 10).cast("string"),
         F.lit(" id 12345678"), (d % 10).cast("string"),
     )
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", injected.alias("t")
-    )
+    from ballet_spark.cache import spread_small_input
+
+    # 8 chained JVM regex passes per doc are the whole query — spread a
+    # single-small-file corpus across cores first (no-op on real
+    # multi-split tables)
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", injected.alias("t"))
     counts = pii_counts(F.col("t"))
     return docs.select(
         "doc_id",
@@ -1662,10 +1673,15 @@ def remove_frequent_segments_docs(spark, sf_dir):
     are stripped from every doc. One bounded count-agg finds the
     removal set, then a pure map-side InSet rewrite; the corpus is
     never shuffled for the rewrite."""
+    from ballet_spark.cache import spread_small_input
     from ballet_spark.operators.dedup import remove_frequent_lines
 
+    # spread BEFORE the interpreted HOF segmentation expression — a
+    # projection does not move across an exchange, so spreading inside
+    # the operator would leave the expensive re-chunking on the single
+    # small file's 1-2 tasks (no-op on real multi-split tables)
     docs = (
-        _t(spark, sf_dir, "documents")
+        spread_small_input(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .selectExpr(
             "doc_id",
             "filter(split(trim(text), ' '), x -> x != '') AS __ftoks",

@@ -50,3 +50,27 @@ def release_caches(scope: str | None = "dedup") -> int:
             except Exception:
                 pass  # session stopped; blocks already gone
     return n
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow input across the cluster's cores when it
+    arrives in fewer partitions — the single-small-file (often
+    single-ROW-GROUP, hence unsplittable) CI/ingest shape, where every
+    fused map stage (regex kernels, Arrow UDF passes, explodes) would
+    otherwise run on one or two tasks while the rest of the cluster
+    idles. A real many-split 100 TB table already has >= cores
+    partitions and passes through untouched, so the extra exchange
+    exists exactly when it is trivially cheap (input smaller than one
+    production split) and vanishes at scale. The canonical guard the
+    dedup operators have always used (dedup._spread), shared here so
+    every per-row-heavy operator applies the same rule.
+
+    Streaming DataFrames pass through untouched: their partition count
+    is not knowable at plan time (``df.rdd`` is illegal on a stream)
+    and micro-batch parallelism is the source's concern."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

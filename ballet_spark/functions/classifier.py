@@ -119,8 +119,17 @@ def fit_nb_tokens(
             )
             yield out
 
+    # guide §2/§4: spread a single-small-file corpus before the Arrow
+    # count pass (no-op on real multi-split tables)
+    from ballet_spark.cache import spread_small_input
+
     counts = (
-        df.select(F.col(text_col).alias(text_col), F.col(label_col).cast("int").alias(label_col))
+        spread_small_input(
+            df.select(
+                F.col(text_col).alias(text_col),
+                F.col(label_col).cast("int").alias(label_col),
+            )
+        )
         .mapInPandas(partials, "idx long, n long")
         .groupBy("idx")
         .agg(F.sum("n").alias("n"))
@@ -205,8 +214,12 @@ def score_nb_tokens(
             out[f"{out_col}_logodds_q"] = pd.array(lq, dtype="Int64")
             yield out
 
+    from ballet_spark.cache import spread_small_input
+
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    scored = df.mapInPandas(kernel, f"{ddl}, {out_col}_logodds_q long")
+    scored = spread_small_input(df).mapInPandas(
+        kernel, f"{ddl}, {out_col}_logodds_q long"
+    )
     return scored.withColumn(
         f"{out_col}_logodds", F.col(f"{out_col}_logodds_q") / F.lit(float(Q))
     ).withColumn(f"{out_col}_pred", F.col(f"{out_col}_logodds_q") > 0)

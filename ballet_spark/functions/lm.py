@@ -95,8 +95,13 @@ def fit_char_bigram_lm(
             nz = np.nonzero(m)[0]
             yield pd.DataFrame({"idx": nz, "n": m[nz]})
 
+    # guide §2/§4: a single-small-file corpus (often one unsplittable
+    # row group) would run the whole Arrow count pass on 1-2 tasks;
+    # spread is a no-op on any real multi-split table
+    from ballet_spark.cache import spread_small_input
+
     counts = (
-        df.select(text_col)
+        spread_small_input(df.select(text_col))
         .mapInPandas(partial_counts, "idx long, n long")
         .groupBy("idx")
         .agg(F.sum("n").alias("n"))
@@ -168,8 +173,10 @@ def score_char_bigram_lm(
             out[out_col] = pd.array(scores, dtype="Float64")
             yield out
 
+    from ballet_spark.cache import spread_small_input
+
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    scored = df.mapInPandas(kernel, f"{ddl}, {out_col} double")
+    scored = spread_small_input(df).mapInPandas(kernel, f"{ddl}, {out_col} double")
     return scored.withColumn(f"{out_col}_ppl", F.exp(-F.col(out_col)))
 
 

@@ -257,7 +257,14 @@ def tf_idf_top_terms(
     """
     from pyspark.sql import Window
 
-    tk = df.select(
+    from ballet_spark.cache import spread_small_input
+
+    # guide §2: the tokenize+explode scan is the dominant per-row work;
+    # a single-small-file corpus would run it on 1-2 tasks (no-op on
+    # real multi-split tables)
+    tk = spread_small_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
     ).select(

@@ -62,11 +62,11 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def _spread(df: DataFrame) -> DataFrame:
     """Single-file small inputs arrive as one partition; spread them
     across cores before CPU-heavy shingle/signature stages (no-op when
-    the source is already parallel, e.g. a many-file 100 TB table)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    the source is already parallel, e.g. a many-file 100 TB table).
+    Canonical implementation: :func:`ballet_spark.cache.spread_small_input`."""
+    from ballet_spark.cache import spread_small_input
+
+    return spread_small_input(df)
 
 
 def tokens_col(text_col):
@@ -540,9 +540,10 @@ def embedding_neardup_pairs(
     planted near-duplicates. ``exact=True`` is the all-pairs escape
     hatch for small-corpus audits ONLY (quadratic join — never the
     default)."""
+    import numpy as np
+
     from ballet_spark.operators.similarity import (
         cosine_expr,
-        cosine_udf,
         lsh_bucket_tables,
     )
 
@@ -557,36 +558,82 @@ def embedding_neardup_pairs(
             .filter(F.col("cosine") >= threshold)
         )
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Blockwise per-bucket verify (one shuffle, no pair materialization).
+    # The old shape — bucket self-join → distinct → two vector-attach
+    # joins → pair-wise Arrow cosine — materialized EVERY candidate
+    # pair: measured at 20k vectors / sf1.0, 320k bucket rows exploded
+    # into 14.9M candidate pairs (the distinct alone was 18.6s because
+    # AQE had already coalesced the small pre-join shuffle down to 2
+    # tasks, and coalescing cannot see a join's output exploding), then
+    # the verify joins shipped ~14M pairs × two 64-double vectors
+    # (~12 GB) through the Arrow boundary. Verify-before-distinct
+    # inverts it: vectors shuffle ONCE to their (tbl, bucket) groups
+    # (n_tables × corpus rows — linear), each bucket scores its own
+    # pairs with one numpy matmul block, and only pairs PASSING the
+    # threshold (1,115 of 14.9M at sf1.0) ever become rows. The pair
+    # qualifies iff it shares ≥1 bucket AND cosine ≥ threshold — the
+    # same set as candidates-then-verify, deduped across tables by the
+    # final groupBy over bit-identical per-table cosine copies. Float
+    # recipe: dot-first matmul, one division, zero-norm→1 — exactly
+    # semantic_dedup's kernel, proven hash-identical to the SQL
+    # oracles' sequential-sum cosine at 4- and 6-decimal grids.
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    id_t = df.schema[id_col].dataType.simpleString()
     bucketed = lsh_bucket_tables(
         base, "v", dim, n_planes, n_tables, seed
-    ).select("id", "tbl", "bucket")
-    # eager persist: both self-join sides reuse the 128 plane projections
-    bucketed = persist_tracked(bucketed)
-    bucketed.count()
-    bb_a, bb_b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        bb_a.join(
-            bb_b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    ).select("id", "v", "tbl", "bucket")
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        frames = []
+        # block height bounds the B×m score matrix (same discipline as
+        # semantic_dedup; n_planes is sized so buckets stay small, this
+        # bounds memory even on a pathological hot bucket)
+        B = max(64, min(2048, 8_000_000 // m))
+        for s in range(0, m, B):
+            e = min(s + B, m)
+            # matmul is the PRE-SCREEN only: BLAS accumulation order
+            # differs from the per-pair (A*B).sum in the last ulps, so
+            # survivors are re-scored below with exactly cosine_udf's
+            # float recipe — emitted doubles are bit-identical to the
+            # old join+Arrow verify path. The 1e-6 margin dwarfs the
+            # ~1e-15 relative matmul/pairwise-sum disagreement, so no
+            # qualifying pair can be screened out.
+            S = (M[s:e] @ M.T) / np.outer(nrm[s:e], nrm)
+            rows, cols = np.nonzero(S >= threshold - 1e-6)
+            keep = cols > rows + s  # strict upper triangle: id_a < id_b
+            if keep.any():
+                rows, cols = rows[keep] + s, cols[keep]
+                exact = (M[rows] * M[cols]).sum(axis=1) / (nrm[rows] * nrm[cols])
+                final = exact >= threshold
+                if final.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[rows[final]],
+                                "id_b": ids[cols[final]],
+                                "cosine": exact[final],
+                            }
+                        )
+                    )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = bucketed.groupBy("tbl", "bucket").applyInPandas(
+        _verify, f"id_a {id_t}, id_b {id_t}, cosine double"
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    # verify with the vectorized kernel: candidates are 10^5+ pairs and
-    # the interpreted HOF fold costs ~dim lambda steps per pair
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a", "id_b", cosine_udf()(F.col("va"), F.col("vb")).alias("cosine")
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    # a pair sharing buckets in several tables emits bit-identical
+    # copies; min() collapses them to the single value
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cosine").alias("cosine"))
 
 
 def minhash_lsh_pairs_incremental(
@@ -826,8 +873,13 @@ def decontaminate(
     # 42, and shipping one 42-row per short doc through the join both
     # wastes rows and would spuriously flag EVERY short doc at once if
     # a bench gram ever hashed to 42; the final left join + coalesce(0)
-    # already restores them
-    train_grams = train_df.select(
+    # already restores them.
+    # _spread: the tokenize + gram explode of the CORPUS side is the
+    # query's dominant per-row work — on a single-small-file input it
+    # would run on 1-2 tasks (no-op on real multi-split tables)
+    train_grams = _spread(
+        train_df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
     ).select(
         id_col,
@@ -910,6 +962,10 @@ def remove_frequent_lines(
     construction)."""
     import re as _re
 
+    # spread before BOTH phases: the count-agg's explode and the
+    # map-side rewrite otherwise run on a single small file's 1-2
+    # tasks (no-op on real multi-split tables)
+    df = _spread(df)
     if freq is None:
         freq = frequent_lines(df, text_col, sep, min_df)
     out_col = out_col or text_col
@@ -971,6 +1027,9 @@ def dedup_lines(
             raise ValueError(f"dedup_lines reserves column name {c!r}")
     if out_col == "n_removed":
         raise ValueError("dedup_lines: out_col may not be 'n_removed'")
+    # spread once, shared by the posexplode pass AND the join-back
+    # (no-op on real multi-split tables)
+    df = _spread(df)
     segs = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
