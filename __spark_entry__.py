@@ -1365,15 +1365,28 @@ def curation_pipeline_v2(spark, sf_dir):
         "lang",
         "filter(split(trim(text), '\\\\s+'), x -> x != '') AS __ftoks",
     ).selectExpr("doc_id", "lang", f"{_SEG5_EXPR} AS t2")
-    cleaned = dedup_lines(seg, id_col="doc_id", text_col="t2", out_col="ct")
+    # persist (same lifecycle note as g1/g2 above): decontaminate
+    # references its corpus TWICE (gram probe pass + the final left
+    # join), which would re-run dedup_lines' three shuffles per
+    # reference
+    cleaned = dedup_lines(
+        seg, id_col="doc_id", text_col="t2", out_col="ct"
+    ).select("doc_id", "lang", F.col("ct").alias("text")).persist()
 
     # 4. decontaminate the cleaned text vs the eval slice
     dec = decontaminate(
-        cleaned.select("doc_id", "lang", F.col("ct").alias("text")),
+        cleaned,
         eval_docs.select("doc_id", "text"),
         n=8,
     )
-    g4 = dec.filter(~F.col("contaminated")).select("doc_id", "lang", "text")
+    # persist: the mix+pack tail references the decontaminated corpus
+    # ~4x (mixing_weights' per-group agg + its broadcast total,
+    # apply_mixing's corpus side, and pack_sequences' window + shard
+    # totals) — measured 12.2s of the query's 16.7s was re-running
+    # dedup_lines + decontaminate once per reference
+    g4 = dec.filter(~F.col("contaminated")).select(
+        "doc_id", "lang", "text"
+    ).persist()
 
     # 5. mix to a fixed language target
     target = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125}

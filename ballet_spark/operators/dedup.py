@@ -45,6 +45,34 @@ from ballet_spark.cache import persist_tracked, release_caches  # noqa: F401 (re
 # under ANSI arithmetic while keeping a proper Mersenne-prime field.
 MERSENNE_P = (1 << 31) - 1
 
+# Worker-lifetime distinct-gram digest memo for gram_hashes' kernel (the
+# long-lived reused Python worker keeps it across batches AND tasks —
+# Zipfian corpora make most gram digests repeats). Hard-capped like
+# classifier._BUCKET_CACHE so a pathological vocabulary cannot grow it
+# unboundedly.
+_GRAM_HASH_CACHE: dict = {}
+_GRAM_HASH_CACHE_MAX = 4_000_000
+
+
+def _gram_hash_bytes(g: bytes) -> int:
+    """63-bit blake2b digest of one gram's bytes, memoized in the
+    worker-lifetime module cache. Module-level ON PURPOSE: a nested
+    closure would be pickled by value with a SNAPSHOT of the (empty)
+    cache dict per task; a module function resolves against the
+    executor's own imported module, so the memo survives across
+    batches and tasks (same mechanism as classifier._BUCKET_CACHE)."""
+    import hashlib
+
+    h = _GRAM_HASH_CACHE.get(g)
+    if h is None:
+        h = (
+            int.from_bytes(hashlib.blake2b(g, digest_size=8).digest(), "big")
+            & ((1 << 63) - 1)
+        )
+        if len(_GRAM_HASH_CACHE) < _GRAM_HASH_CACHE_MAX:
+            _GRAM_HASH_CACHE[g] = h
+    return h
+
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest-id row per distinct text (hash-groupBy dedup).
@@ -218,55 +246,6 @@ def _sig_udf(num_hashes: int, seed: int):
     return F.pandas_udf(_kernel, "array<long>")
 
 
-def _gram_hash_udf(n: int):
-    """Tokenize → distinct word n-grams → 63-bit gram identity hashes
-    (blake2b first 8 bytes, masked to fit a non-negative int64), in ONE
-    Arrow-batched kernel with a per-batch gram memo. The wide space
-    matters: set identity (Jaccard verification, doc-frequency pruning)
-    collides at ~2^-63 per pair here, whereas folding into the 31-bit
-    Mersenne field at this stage would make birthday collisions routine
-    at web-corpus gram counts; the fold happens inside the MinHash
-    signature kernel instead, where field arithmetic is required.
-
-    Why Python here: Spark's higher-order-function lambdas are
-    interpreted (no whole-stage codegen) and CollapseProject inlines
-    the ``split()`` back into the lambda body, so the JVM expression
-    formulation re-runs the regex split per gram index — measured 3.5-
-    55s for 5k docs vs <1s for this kernel. Hashing is per-item work
-    either way; set semantics (min / intersection sizes) make the hash
-    function itself irrelevant as long as it's deterministic."""
-    import hashlib
-
-    def _kernel(text: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def _hash(g: str) -> int:
-            h = cache.get(g)
-            if h is None:
-                h = (
-                    int.from_bytes(
-                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
-                        "big",
-                    )
-                    & ((1 << 63) - 1)
-                )
-                cache[g] = h
-            return h
-
-        def _one(t):
-            if t is None:
-                return []
-            toks = t.split()
-            if len(toks) < n:
-                return []
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            return [_hash(g) for g in grams]
-
-        return text.map(_one)
-
-    return F.pandas_udf(_kernel, "array<long>")
-
-
 def gram_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -277,15 +256,63 @@ def gram_hashes(
     word shingle (the Mersenne-field fold happens only inside the
     MinHash signature kernel). ONE tokenization pass — reused by
     signature generation AND candidate verification (Jaccard on the
-    distinct-hash arrays equals gram Jaccard up to 2^-63 collisions)."""
-    return (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            _gram_hash_udf(shingle_n)(F.col(text_col)).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)
-    )
+    distinct-hash arrays equals gram Jaccard up to 2^-63 collisions).
+
+    mapInArrow, not a pandas UDF (guide §4.2): the output is ~100
+    int64s per doc, and the pandas path boxes every element through a
+    Python list inside a Series before Arrow conversion — at 50k docs
+    / 4.9M gram hashes that boxing dominated the stage. Here the flat
+    value buffer + offsets array are built in numpy and handed to
+    ``pa.ListArray.from_arrays`` zero-copy. Digest values are
+    unchanged (same _gram_hash_bytes memo kernel)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = int(shingle_n)
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        gh = _gram_hash_bytes
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            per_doc = []
+            offs = np.zeros(len(texts) + 1, dtype=np.int64)
+            total = 0
+            for i, t in enumerate(texts):
+                if t is None:
+                    hs = ()
+                else:
+                    toks = t.split()
+                    if len(toks) < n:
+                        hs = ()
+                    else:
+                        bs = [w.encode("utf-8") for w in toks]
+                        hs = [
+                            gh(g)
+                            for g in {
+                                b" ".join(bs[j : j + n])
+                                for j in range(len(bs) - n + 1)
+                            }
+                        ]
+                per_doc.append(hs)
+                total += len(hs)
+                offs[i + 1] = total
+            flat = np.empty(total, dtype=np.int64)
+            pos = 0
+            for hs in per_doc:
+                ln = len(hs)
+                if ln:
+                    flat[pos : pos + ln] = hs
+                    pos += ln
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays([batch.column(0), arr], ["id", "hs"])
+
+    out = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ).mapInArrow(kernel, f"id {id_t}, hs array<bigint>")
+    return out.filter(F.size("hs") > 0)
 
 
 def minhash_signatures(
@@ -1297,33 +1324,60 @@ def dedup_substrings(
     )
     base = df.withColumn("__toks", toks)
 
-    # one Arrow map stage: every k-window's 16-byte md5. Tokens are
-    # encoded once per doc; each window is a bytes-join + digest —
-    # identical bytes to md5(concat_ws(' ', slice(toks, i+1, k)))
-    # (the oracle groups on that window STRING, so agreement also
-    # certifies the fingerprints collision-free on the corpus).
-    @F.pandas_udf("array<binary>")
-    def _win_md5(tok_arrays: pd.Series) -> pd.Series:
+    # One Arrow map stage emitting EXPLODED (__id, __pos, __h) window
+    # rows directly (r6): the previous pandas UDF returned
+    # array<binary> per doc — millions of 16-byte digests boxed
+    # through Python lists inside a Series, then a separate JVM
+    # posexplode. mapInArrow builds the flat buffers once; digests are
+    # byte-identical (same b' '.join + md5 over the SAME JVM-tokenized
+    # __toks — tokenization is NOT moved into Python on purpose, so
+    # window strings keep matching the oracle's regex split exactly).
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def _win_rows(batches):
         import hashlib
 
-        out = []
-        for tk in tok_arrays:
-            if tk is None or len(tk) < k:
-                out.append([])
-                continue
-            bs = [t.encode("utf-8") for t in tk]
-            out.append(
-                [
-                    hashlib.md5(b" ".join(bs[i : i + k])).digest()
-                    for i in range(len(bs) - k + 1)
-                ]
-            )
-        return pd.Series(out)
+        import pyarrow as pa
 
-    hashes = _win_md5(F.col("__toks"))
-    wins = base.select(
-        F.col(id_col).alias("__id"), hashes.alias("__hs")
-    ).select("__id", F.posexplode("__hs").alias("__pos", "__h"))
+        for batch in batches:
+            ids = batch.column(0)
+            tok_lists = batch.column(1).to_pylist()
+            counts = np.zeros(len(tok_lists), dtype=np.int64)
+            digests: list = []
+            for i, tk in enumerate(tok_lists):
+                if tk is None or len(tk) < k:
+                    continue
+                bs = [t.encode("utf-8") for t in tk]
+                w = [
+                    hashlib.md5(b" ".join(bs[j : j + k])).digest()
+                    for j in range(len(bs) - k + 1)
+                ]
+                counts[i] = len(w)
+                digests.extend(w)
+            pos = (
+                np.concatenate([np.arange(c, dtype=np.int32) for c in counts if c])
+                if digests
+                else np.empty(0, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.repeat(np.arange(len(counts)), counts))),
+                    pa.array(pos, type=pa.int32()),
+                    pa.array(digests, type=pa.binary()),
+                ],
+                ["__id", "__pos", "__h"],
+            )
+
+    # persist: the window table feeds BOTH the winner aggregation and
+    # the probe join back — without it the tokenize+digest kernel runs
+    # once per reference (the winner side is count>1-filtered and
+    # usually broadcast, so no exchange reuse saves us)
+    wins = persist_tracked(
+        base.select(F.col(id_col).alias("__id"), F.col("__toks")).mapInArrow(
+            _win_rows, f"__id {id_t}, __pos int, __h binary"
+        )
+    )
+    wins.count()  # eager, so the two references below race past a cold cache
     winners = (
         wins.groupBy("__h")
         .agg(
