@@ -315,6 +315,60 @@ def gram_hashes(
     return out.filter(F.size("hs") > 0)
 
 
+def _gram_hash_rows(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Exploded (id, gh) rows — one per DISTINCT word ``n``-gram of the
+    pre-tokenized ``__toks`` array column — in one mapInArrow pass.
+    Tokens come from the caller's JVM ``tokens_col`` projection (NOT
+    re-tokenized in Python), so gram CONTENT is exactly the HOF
+    formulation's; only the 63-bit blake2b identity replaces per-gram
+    interpreted ``slice``+``concat_ws`` (measured ~15µs/element of HOF
+    interpretation) + ``xxhash64``. Set membership is equivalent up to
+    ~2^-63 collisions — the same argument the docstring of
+    :func:`decontaminate` already makes for hashing grams at all.
+    Docs with fewer than ``n`` tokens emit no rows (plain-explode
+    semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        gh = _gram_hash_bytes
+        for batch in batches:
+            ids = batch.column(0)
+            tok_lists = batch.column(1).to_pylist()
+            counts = np.zeros(len(tok_lists), dtype=np.int64)
+            flat_parts = []
+            for i, tk in enumerate(tok_lists):
+                if tk is None or len(tk) < n:
+                    continue
+                bs = [w.encode("utf-8") for w in tk]
+                hs = [
+                    gh(g)
+                    for g in {
+                        b" ".join(bs[j : j + n]) for j in range(len(bs) - n + 1)
+                    }
+                ]
+                counts[i] = len(hs)
+                flat_parts.append(hs)
+            flat = np.empty(int(counts.sum()), dtype=np.int64)
+            pos = 0
+            for hs in flat_parts:
+                flat[pos : pos + len(hs)] = hs
+                pos += len(hs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.repeat(np.arange(len(counts)), counts))),
+                    pa.array(flat, type=pa.int64()),
+                ],
+                ["id", "gh"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col("__toks")).mapInArrow(
+        kernel, f"id {id_t}, gh bigint"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -867,13 +921,13 @@ def decontaminate(
     are thousands of docs, the corpus is 10^12), so its DISTINCT gram
     set broadcasts and the training side joins map-side — the corpus
     shuffles nothing. The join and the per-doc hit counting run on
-    ``xxhash64`` GRAM HASHES, not gram strings: an exploded corpus
-    carries 10^13 multi-word strings, and hashing cuts the broadcast
-    table and every exchanged row to 8 bytes (same trick as
-    :func:`ngram_jaccard_pairs`; a 2^-64 collision flags one doc
+    63-bit blake2b GRAM HASHES (the shared :func:`_gram_hash_rows`
+    kernel), not gram strings: an exploded corpus carries 10^13
+    multi-word strings, and hashing cuts the broadcast table and every
+    exchanged row to 8 bytes (same trick as
+    :func:`ngram_jaccard_pairs`; a ~2^-63 collision flags one doc
     spuriously, it never misses real contamination). Per-doc distinct
-    grams (word_ngrams is distinct) keep counts identical to the
-    string join.
+    grams keep counts identical to the string join.
 
     Returns ``train_df`` + ``n_contaminated_grams`` (long) +
     ``contaminated`` (boolean). Docs shorter than ``n`` words have 0 /
@@ -886,32 +940,35 @@ def decontaminate(
             # benchmark: the left join would otherwise produce an
             # ambiguous duplicate column / silent overwrite
             raise ValueError(f"decontaminate reserves column name {c!r}")
-    # project tokens_col FIRST (ngrams_from_tokens contract): the HOF
-    # lambda re-evaluates its argument per gram index, so an inline
-    # split() would re-tokenize every doc once per gram
-    bench_grams = (
-        bench_df.select(tokens_col(F.col(text_col)).alias("__toks"))
-        .select(F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
-        .distinct()
-    )
-    # plain explode, not explode_outer: gram-less docs (shorter than n
-    # words) need no probe row — xxhash64(NULL) is the CONSTANT seed
-    # 42, and shipping one 42-row per short doc through the join both
-    # wastes rows and would spuriously flag EVERY short doc at once if
-    # a bench gram ever hashed to 42; the final left join + coalesce(0)
-    # already restores them.
-    # _spread: the tokenize + gram explode of the CORPUS side is the
+    # Gram identity = 63-bit blake2b of the gram bytes via
+    # _gram_hash_rows (r6): the HOF ngrams_from_tokens formulation
+    # interpreted slice+concat_ws once per gram index (~15µs/element,
+    # the whole query's cost at corpus scale); the kernel emits the
+    # exploded hash rows directly from the SAME JVM-tokenized arrays.
+    # Tokens still come from tokens_col so gram content is unchanged.
+    # Docs shorter than n words emit no probe row (plain-explode
+    # semantics as before); the final left join + coalesce(0) restores
+    # them with count 0.
+    # synthetic id: the bench side never needed an id column (only its
+    # gram SET matters) and callers may pass a text-only frame
+    bench_grams = _gram_hash_rows(
+        bench_df.select(
+            F.lit(0).cast("long").alias("__bid"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        ),
+        "__bid",
+        n,
+    ).select("gh").distinct()
+    # _spread: the tokenize + gram kernel of the CORPUS side is the
     # query's dominant per-row work — on a single-small-file input it
     # would run on 1-2 tasks (no-op on real multi-split tables)
-    train_grams = _spread(
-        train_df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
-    ).select(
+    train_grams = _gram_hash_rows(
+        _spread(train_df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+        ),
         id_col,
-        F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"),
-    ).select(id_col, F.xxhash64("g").alias("gh"))
+        n,
+    ).withColumnRenamed("id", id_col)
     hits = (
         train_grams.join(F.broadcast(bench_grams), "gh", "inner")
         .groupBy(id_col)

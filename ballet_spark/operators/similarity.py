@@ -154,7 +154,11 @@ def cosine_topk(
     # id columns keep their INPUT types (url strings are the repo's
     # primary entity key — a hardcoded `long` schema would fail the
     # Arrow conversion for them)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    from ballet_spark.cache import spread_small_input
+
+    c = spread_small_input(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     scored = c.mapInPandas(score, out_schema)
     return _rank_topk(scored, k)
 
@@ -246,8 +250,13 @@ def lsh_bucket_tables(
     tunable without growing any single bucket. At larger corpora raise
     ``n_planes`` (≈ log2(n / target_bucket_size)) to keep buckets
     bounded; candidates stay linear in corpus size."""
+    from ballet_spark.cache import spread_small_input
+
     if planes is None:
         planes = srp_planes(dim, n_planes, n_tables, seed)
+    # single-small-file corpora otherwise run the projection kernel on
+    # 1-2 tasks (no-op on real multi-split tables / already-spread input)
+    df = spread_small_input(df)
     bucketed = df.withColumn("__bks", _bucket_udf(planes)(F.col(vec_col)))
     return bucketed.select(
         *df.columns, F.posexplode("__bks").alias("tbl", "bucket")
@@ -458,8 +467,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Tag each corpus row with its nearest centroid (the IVF list id).
     One scan, no shuffle — at 100 TB this column becomes the partition
-    key of the materialized index."""
-    return corpus.withColumn(out_col, _assign_udf(cents)(F.col(vec_col)))
+    key of the materialized index. (Single-small-file corpora are
+    spread first so the assign kernel parallelizes — no-op on real
+    multi-split tables.)"""
+    from ballet_spark.cache import spread_small_input
+
+    return spread_small_input(corpus).withColumn(
+        out_col, _assign_udf(cents)(F.col(vec_col))
+    )
 
 
 def ivf_topk(
