@@ -1322,9 +1322,9 @@ def curation_pipeline_v2(spark, sf_dir):
     # entire six-stage chain (three Arrow kernels among them) runs as
     # a chain of single-task stages. Guarded: a real multi-split
     # table is left untouched. Same pattern as dedup_substrings.
-    par = spark.sparkContext.defaultParallelism
-    if all_docs.rdd.getNumPartitions() < par:
-        all_docs = all_docs.repartition(par)
+    from ballet_spark.cache import spread_small_input
+
+    all_docs = spread_small_input(all_docs)
     eval_docs = all_docs.filter(F.col("doc_id") % 10 == 0)
     train = all_docs.filter(F.col("doc_id") % 10 != 0)
 

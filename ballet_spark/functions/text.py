@@ -262,18 +262,32 @@ def tf_idf_top_terms(
     # guide §2: the tokenize+explode scan is the dominant per-row work;
     # a single-small-file corpus would run it on 1-2 tasks (no-op on
     # real multi-split tables)
-    tk = spread_small_input(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
-    ).select(
-        "id",
-        F.size(F.filter(F.col("tk"), lambda t: F.length(t) >= min_token_len)).alias(
-            "len"
-        ),
-        F.col("tk"),
-    )
+    spread = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    if min_token_len <= 1:
+        # codegen-capable token count: a fully regexp-trimmed string
+        # split on \s+ yields no empty tokens, so size(split) equals
+        # size(filter(len >= 1)) exactly — and avoids ArrayFilter,
+        # which is CodegenFallback and drops the whole scan Project
+        # out of whole-stage codegen (the token_count lesson)
+        cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+        tk = spread.select(
+            F.col(id_col).alias("id"),
+            F.when(F.length(cleaned) == 0, F.lit(0))
+            .otherwise(F.size(F.split(cleaned, r"\s+")))
+            .alias("len"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
+        )
+    else:
+        tk = spread.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
+        ).select(
+            "id",
+            F.size(
+                F.filter(F.col("tk"), lambda t: F.length(t) >= min_token_len)
+            ).alias("len"),
+            F.col("tk"),
+        )
     toks = tk.select("id", "len", F.explode("tk").alias("term")).filter(
         F.length("term") >= min_token_len
     )
@@ -282,8 +296,15 @@ def tf_idf_top_terms(
     # corpus is scanned only when the result is acted on
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     doc_term = toks.groupBy("id", "len", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    dfreq = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = doc_term.join(dfreq, "term").crossJoin(n_docs).select(
+    # document frequency as a COUNT WINDOW over the term partition, not
+    # a second aggregation joined back: the join form evaluates the
+    # whole tokenize+explode+agg subtree once per branch (measured 2x
+    # at sf1.0), while the window form costs the same exchange on term
+    # the dfreq agg needed anyway and reads doc_term exactly once.
+    # Counts are integers — values are identical to the join form.
+    scored = doc_term.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).crossJoin(n_docs).select(
         "id",
         "term",
         (

@@ -1105,7 +1105,7 @@ def dedup_lines(
     import re as _re
 
     out_col = out_col or text_col
-    for c in ("__id", "__pos", "__seg", "__w", "__keep",
+    for c in ("__id", "__pos", "__seg", "__w", "__keep", "__hk",
               "__cleaned", "__removed", "n_removed"):
         if c in df.columns:
             raise ValueError(f"dedup_lines reserves column name {c!r}")
@@ -1120,10 +1120,17 @@ def dedup_lines(
             F.split(F.trim(F.col(text_col)), _re.escape(sep))
         ).alias("__pos", "__seg"),
     ).filter(F.col("__seg") != "")
-    winners = segs.groupBy("__seg").agg(
+    # winner agg + probe join keyed on xxhash64(__seg), not the segment
+    # STRING (r6): the two shuffles then carry 8-byte keys instead of
+    # segment text — the same hash-instead-of-payload discipline as
+    # decontaminate / ngram_jaccard_pairs. A 2^-64 collision would
+    # merge two segment classes (one extra removal corpus-wide);
+    # membership semantics are otherwise identical.
+    hk = F.xxhash64("__seg")
+    winners = segs.groupBy(hk.alias("__hk")).agg(
         F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
     )
-    marked = segs.join(winners, "__seg").select(
+    marked = segs.withColumn("__hk", hk).join(winners, "__hk").select(
         "__id",
         "__pos",
         "__seg",

@@ -467,14 +467,12 @@ def ivf_assign(
 ) -> DataFrame:
     """Tag each corpus row with its nearest centroid (the IVF list id).
     One scan, no shuffle — at 100 TB this column becomes the partition
-    key of the materialized index. (Single-small-file corpora are
-    spread first so the assign kernel parallelizes — no-op on real
-    multi-split tables.)"""
-    from ballet_spark.cache import spread_small_input
-
-    return spread_small_input(corpus).withColumn(
-        out_col, _assign_udf(cents)(F.col(vec_col))
-    )
+    key of the materialized index. Deliberately does NOT spread small
+    inputs itself: semantic_dedup immediately re-shuffles the output
+    by centroid_id, where an injected exchange is pure overhead
+    (measured +0.18s at sf1.0); shuffle-free consumers (ivf_topk's
+    broadcast probe) spread the corpus at the call site instead."""
+    return corpus.withColumn(out_col, _assign_udf(cents)(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -527,8 +525,17 @@ def ivf_topk(
         probe_rows, f"query_id {qt}, centroid_id int"
     )
 
+    from ballet_spark.cache import spread_small_input
+
+    # spread here, not inside ivf_assign: this path's join is a
+    # broadcast probe (no downstream shuffle to parallelize the
+    # assignment kernel for us)
     tagged = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        spread_small_input(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            )
+        ),
         C,
         vec_col="cv",
     )
