@@ -315,6 +315,95 @@ def gram_hashes(
     return out.filter(F.size("hs") > 0)
 
 
+def _gram_hash_sig(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    seed: int,
+) -> DataFrame:
+    """(id, hs, signature) in ONE mapInArrow pass — the gram_hashes
+    kernel with the MinHash affine-min fused in, so the LSH pair paths
+    pay one Python stage instead of two (the separate signature pass
+    re-shipped every persisted gram array through Arrow). Gram digests
+    and signature values are identical to gram_hashes + _sig_udf: the
+    same _gram_hash_bytes memo and the same int64 field arithmetic on
+    the same per-doc hash lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = int(shingle_n)
+    id_t = df.schema[id_col].dataType.simpleString()
+    coefs = _minhash_coefs(num_hashes, seed)
+    A = np.array([a for a, _ in coefs], dtype=np.int64)
+    B = np.array([b for _, b in coefs], dtype=np.int64)
+
+    def kernel(batches):
+        gh = _gram_hash_bytes
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            per_doc = []
+            offs = np.zeros(len(texts) + 1, dtype=np.int64)
+            sig_flat = np.empty(len(texts) * num_hashes, dtype=np.int64)
+            total = 0
+            for i, t in enumerate(texts):
+                if t is None:
+                    hs = ()
+                else:
+                    toks = t.split()
+                    if len(toks) < n:
+                        hs = ()
+                    else:
+                        bs = [w.encode("utf-8") for w in toks]
+                        hs = [
+                            gh(g)
+                            for g in {
+                                b" ".join(bs[j : j + n])
+                                for j in range(len(bs) - n + 1)
+                            }
+                        ]
+                per_doc.append(hs)
+                total += len(hs)
+                offs[i + 1] = total
+                if hs:
+                    h = np.asarray(hs, dtype=np.int64) % MERSENNE_P
+                    sig_flat[i * num_hashes : (i + 1) * num_hashes] = (
+                        (h[:, None] * A[None, :] + B[None, :]) % MERSENNE_P
+                    ).min(axis=0)
+                else:
+                    sig_flat[i * num_hashes : (i + 1) * num_hashes] = 0
+            flat = np.empty(total, dtype=np.int64)
+            pos = 0
+            for hs in per_doc:
+                ln = len(hs)
+                if ln:
+                    flat[pos : pos + ln] = hs
+                    pos += ln
+            hs_arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+            )
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(len(texts) + 1, dtype=np.int64) * num_hashes,
+                    type=pa.int32(),
+                ),
+                pa.array(sig_flat, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), hs_arr, sig_arr], ["id", "hs", "signature"]
+            )
+
+    out = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ).mapInArrow(
+        kernel, f"id {id_t}, hs array<bigint>, signature array<bigint>"
+    )
+    # gram-less docs are excluded exactly as gram_hashes excludes them
+    # (their placeholder signature rows never existed in the old path)
+    return out.filter(F.size("hs") > 0)
+
+
 def _gram_hash_rows(df: DataFrame, id_col: str, n: int) -> DataFrame:
     """Exploded (id, gh) rows — one per DISTINCT word ``n``-gram of the
     pre-tokenized ``__toks`` array column — in one mapInArrow pass.
@@ -442,13 +531,15 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    # ONE tokenization pass: the persisted (id, gram-hash array) frame
-    # feeds both signature generation and candidate verification, so
-    # the regex split + shingle build runs once instead of three times
-    hs = persist_tracked(gram_hashes(df, id_col, text_col, shingle_n))
+    # ONE tokenization+signature pass (fused kernel): the persisted
+    # (id, hs, signature) frame feeds banding AND candidate
+    # verification, so the shingle build runs once and the gram arrays
+    # never make a second Arrow round-trip for the signature stage
+    hs = persist_tracked(
+        _gram_hash_sig(df, id_col, text_col, shingle_n, num_hashes, seed)
+    )
     hs.count()
-    sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
-    banded = _banded_buckets(sig, bands, r)
+    banded = _banded_buckets(hs.select("id", "signature"), bands, r)
 
     # persist EAGERLY: the self-join would otherwise recompute the whole
     # signature DAG (explode + 64 min-aggs) once per side — lazy persist
@@ -763,10 +854,13 @@ def minhash_lsh_pairs_incremental(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    hs = persist_tracked(gram_hashes(new_df, id_col, text_col, shingle_n))
+    hs = persist_tracked(
+        _gram_hash_sig(new_df, id_col, text_col, shingle_n, num_hashes, seed)
+    )
     hs.count()
-    sig = hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
-    banded = persist_tracked(_banded_buckets(sig, bands, r))
+    banded = persist_tracked(
+        _banded_buckets(hs.select("id", "signature"), bands, r)
+    )
     banded.count()
 
     # new×new within the batch
