@@ -32,6 +32,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Map every node of the pair graph to its component's minimum id.
 
@@ -45,13 +46,55 @@ def connected_components(
     of a component spreads one hop per round, so the loop converges in
     at most ``diameter`` rounds and the fixpoint is exact (not
     approximate) — convergence is detected by counting changed labels.
-    """
+
+    Small-graph fast path: near-dup PAIR graphs are tiny relative to
+    the corpus (edges exist only between actual duplicates), and each
+    distributed round costs a fixed multi-job overhead that dwarfs the
+    work when the edge list is thousands of rows. When the
+    materialized edge count is at most ``small_graph_threshold`` the
+    components are solved with one bounded collect + union-find on
+    the driver — the same capped-collect discipline as
+    ``frequent_lines`` / ``head_keys`` (200k edges ≈ a few MB), with
+    identical output (min reachable id per node). Larger graphs take
+    the distributed loop unchanged."""
     # materialize the pair set ONCE before symmetrizing: the union
     # references it twice, and pair producers (LSH verify joins) are
     # far too expensive to recompute per reference
     pairs = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
+    n_edges = pairs.count()  # on checkpointed blocks — no recompute
+    if n_edges <= small_graph_threshold:
+        rows = pairs.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so every root is its component's
+                # smallest id at all times
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        schema = pairs.schema["a"].dataType.simpleString()
+        result = pairs.sparkSession.createDataFrame(
+            out, f"id {schema}, component {schema}"
+        )
+        pairs.unpersist()
+        return result
     # symmetric closure: propagate along both directions of each pair
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # localCheckpoint (not just persist): each round's labels feed the

@@ -49,6 +49,24 @@ def test_components_long_path_converges(spark):
     assert {r["component"] for r in comp.collect()} == {0}
 
 
+def test_components_fast_path_matches_distributed_loop(spark):
+    """r6: edge lists at or under small_graph_threshold take a bounded
+    driver union-find; the result must equal the distributed min-label
+    loop row for row (same min-reachable-id semantics)."""
+    import random
+
+    rnd = random.Random(7)
+    edges = [
+        (rnd.randrange(0, 120), rnd.randrange(0, 120)) for _ in range(200)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = connected_components(_pairs(spark, edges))
+    dist = connected_components(_pairs(spark, edges), small_graph_threshold=0)
+    assert {(r["id"], r["component"]) for r in fast.collect()} == {
+        (r["id"], r["component"]) for r in dist.collect()
+    }
+
+
 def test_canonical_docs_keeps_min_and_singletons(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
