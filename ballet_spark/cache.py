@@ -52,7 +52,7 @@ def release_caches(scope: str | None = "dedup") -> int:
     return n
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, share: bool = False) -> DataFrame:
     """Round-robin a narrow input across the cluster's cores when it
     arrives in fewer partitions — the single-small-file (often
     single-ROW-GROUP, hence unsplittable) CI/ingest shape, where every
@@ -78,7 +78,19 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     so the probe is skipped for those via one cheap analyzed-plan
     string check; the probe (and possible spread) only runs for
     narrow map lineages over a source — the one shape that can
-    actually be a single small file."""
+    actually be a single small file.
+
+    ``share=True`` additionally persists the spread output — ONLY when
+    a spread actually fired, so the persist is bounded by the same
+    guard that justifies the exchange (the input fits in fewer splits
+    than the cluster has cores, i.e. at most a few production splits).
+    For multi-pass consumers (fit+score gates, two-phase removals, a
+    corpus referenced by several joins) this turns N scan+spread
+    evaluations into one; on a real many-split table nothing is
+    persisted and each pass re-scans columnar source — the cheaper
+    choice at scale. Registered under scope ``"spread"`` for
+    :func:`release_caches`; the persist is lazy (the first consuming
+    job materializes it)."""
     if df.isStreaming:
         return df
     try:
@@ -95,5 +107,8 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         pass  # fall through to the exact probe
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        out = df.repartition(target)
+        if share:
+            out = persist_tracked(out, scope="spread")
+        return out
     return df

@@ -1051,9 +1051,15 @@ def decontaminate(
     # semantics as before); the final left join + coalesce(0) restores
     # them with count 0.
     # synthetic id: the bench side never needed an id column (only its
-    # gram SET matters) and callers may pass a text-only frame
+    # gram SET matters) and callers may pass a text-only frame.
+    # _spread: "small by definition" still means thousands of docs —
+    # on a single-file eval slice the gram kernel otherwise runs its
+    # whole tokenize+hash pass on 1-2 tasks while the cluster idles
+    # (no-op on multi-split or already-spread inputs; the distinct()
+    # shuffles the 8-byte hashes regardless, so the exchange placement
+    # of the OUTPUT is unchanged)
     bench_grams = _gram_hash_rows(
-        bench_df.select(
+        _spread(bench_df.select(F.col(text_col))).select(
             F.lit(0).cast("long").alias("__bid"),
             tokens_col(F.col(text_col)).alias("__toks"),
         ),
