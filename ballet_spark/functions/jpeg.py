@@ -227,6 +227,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # marker code; skip them (some encoders/cameras pad segments)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            # a stream ending in 0xFF fill bytes: the decoder's
+            # contract for malformed input is ValueError, not the
+            # IndexError the bare data[pos + 1] would raise
+            raise ValueError("truncated JPEG: fill bytes run to EOF")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

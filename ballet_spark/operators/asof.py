@@ -139,10 +139,41 @@ def asof_join(
         # gaps near the tolerance boundary
         # __mts may carry the right_ts ORIGINAL type (same-type
         # pass-through above) — e.g. timestamp_ntz, which cannot cast
-        # straight to double; route through timestamp first
+        # straight to double; route through timestamp first.
+        # try_cast + explicit raise: the same-type pass-through also
+        # admits non-ISO string stamps (14-digit WARC stamps), where a
+        # plain cast throws an opaque CAST_INVALID_INPUT mid-job under
+        # ANSI or silently NULLs (matching nothing) in legacy mode —
+        # tolerance over a non-castable stamp is a caller error and
+        # must say so
+        def _to_epoch(col, what):
+            ts = col.try_cast("timestamp")
+            return (
+                F.when(
+                    col.isNotNull() & ts.isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "asof_join: tolerance_s requires "
+                                f"timestamp-castable ts columns; {what} "
+                                "value '"
+                            ),
+                            col.cast("string"),
+                            F.lit(
+                                "' cannot be cast to timestamp — compare "
+                                "on a real timestamp column or drop "
+                                "tolerance_s"
+                            ),
+                        )
+                    ).cast("timestamp"),
+                )
+                .otherwise(ts)
+                .cast("double")
+            )
+
         in_tol = (
-            F.col("__ts").cast("timestamp").cast("double")
-            - m["__mts"].cast("timestamp").cast("double")
+            _to_epoch(F.col("__ts"), left_ts)
+            - _to_epoch(m["__mts"], right_ts)
         ) <= F.lit(float(tolerance_s))
         m = F.when(in_tol, F.col("__m"))
 

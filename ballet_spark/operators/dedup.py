@@ -1001,8 +1001,17 @@ def exact_dedup_incremental(
     hashed = new_df.withColumn(
         "content_md5", F.coalesce(F.md5(F.col(text_col)), F.lit(""))
     )
+    # normalize the SEED side with the same convention: a seen_hashes
+    # table seeded from exact_dedup's OUTPUT carries content_md5 NULL
+    # for its NULL-text group (that column is oracle-pinned to
+    # md5(text)), which would never equality-match the batch's ''
+    # key and re-admit one NULL-text row per ingest
     fresh = hashed.join(
-        seen_hashes.select("content_md5"), "content_md5", "left_anti"
+        seen_hashes.select(
+            F.coalesce(F.col("content_md5"), F.lit("")).alias("content_md5")
+        ),
+        "content_md5",
+        "left_anti",
     )
     keep_ids = (
         fresh.groupBy("content_md5")

@@ -127,10 +127,30 @@ def completed_units(
     written under a DIFFERENT unit count: the pmod layouts are
     incompatible, and resuming across them would leave entities
     present in two unit directories at once."""
+    # probe existence via the Hadoop FileSystem API first: "missing"
+    # must not be classified by matching exception MESSAGE wording,
+    # which differs across Spark versions / FS backends (PATH_NOT_FOUND
+    # vs FileNotFoundException vs backend-specific phrasing) and would
+    # turn a legitimate first run into a raise
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(lineage_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return set()
+    except Exception:
+        pass  # probe unavailable (e.g. connect-only session): fall through
     try:
         lin = spark.read.parquet(lineage_path)
     except Exception as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # errorClass is the stable contract; message substrings remain
+        # only as a fallback for the probe-to-read race window
+        ec = getattr(e, "getErrorClass", lambda: None)()
+        if (
+            ec == "PATH_NOT_FOUND"
+            or "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+        ):
             return set()
         raise
     mine = lin.filter(
@@ -215,6 +235,32 @@ def materialize(
             f"materialize reserves output column name(s) {sorted(bad)} "
             "for partition bookkeeping; rename the feature output"
         )
+    # old-layout guard (mirrors the n_units mismatch ValueError): the
+    # r5 layout partitioned by (snapshot, unit) only; resuming the
+    # feature_set-led layout into such a directory would mix two
+    # partition trees at one root and fail Spark partition discovery
+    # ("conflicting directory structures") far from the cause
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            names = [s.getPath().getName() for s in fs.listStatus(hpath)]
+            has_old = any(n.startswith("snapshot=") for n in names)
+            has_new = any(n.startswith("feature_set=") for n in names)
+            if has_old and not has_new:
+                raise ValueError(
+                    f"out_path {out_path!r} holds a pre-feature_set "
+                    "partition layout (snapshot=* at the root); writing "
+                    "the feature_set-led layout into it would mix two "
+                    "partition trees and break partition discovery — "
+                    "materialize to a fresh out_path, or migrate the old "
+                    "tree under feature_set=<id>/ first"
+                )
+    except ValueError:
+        raise
+    except Exception:
+        pass  # probe unavailable (e.g. connect-only session)
     done = completed_units(
         spark, lineage_path, fset, input_snapshot, n_units=n_units
     )

@@ -745,3 +745,104 @@ def test_encoder_pipeline_unfitted_error(spark):
     df = spark.createDataFrame([(1.0,)], "y double")
     with pytest.raises(RuntimeError, match="before fit"):
         EncoderPipeline([Identity()]).transform(df)
+
+
+# --------------------------------------------------------------------
+# Round-5 ADVICE items (fixed in the r6 optimization round)
+# --------------------------------------------------------------------
+
+
+def test_asof_tolerance_non_castable_string_ts_raises_clearly(spark):
+    """ADVICE r5: tolerance_s over same-typed non-ISO string stamps
+    (14-digit WARC stamps) silently matched nothing in legacy mode and
+    threw an opaque CAST_INVALID_INPUT under ANSI; it must now raise
+    the operator's own clear error."""
+    from ballet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "20240102000000")], "url string, ts string"
+    )
+    right = spark.createDataFrame(
+        [("a", "20240101000000", 7.0)], "url string, warc_ts string, val double"
+    )
+    out = asof_join(left, right, tolerance_s=3600)
+    with pytest.raises(Exception, match="timestamp-castable"):
+        out.collect()
+    # ISO-format string stamps remain a working tolerance path
+    left2 = spark.createDataFrame(
+        [("a", "2024-01-02 00:00:00")], "url string, ts string"
+    )
+    right2 = spark.createDataFrame(
+        [("a", "2024-01-01 23:30:00", 7.0), ("a", "2024-01-01 00:00:00", 5.0)],
+        "url string, warc_ts string, val double",
+    )
+    rows = asof_join(left2, right2, tolerance_s=3600).collect()
+    assert rows[0]["val"] == 7.0
+
+
+def test_completed_units_missing_path_is_first_run(spark, tmp_path):
+    """ADVICE r5: 'missing lineage table' must be detected by a
+    FileSystem existence probe / errorClass, not by exception-message
+    wording."""
+    from ballet_spark.plans.materialize import completed_units
+
+    assert completed_units(
+        spark, str(tmp_path / "never_written"), "fs", "snap"
+    ) == set()
+
+
+def test_materialize_old_layout_out_path_raises_migration_error(
+    spark, webtext_df, tmp_path
+):
+    """ADVICE r5: resuming the feature_set-led partition layout into an
+    out_path written by the old (snapshot, unit) layout must fail with
+    an explicit migration message, not Spark's 'conflicting directory
+    structures'."""
+    from ballet_spark.plans.materialize import materialize
+
+    from ballet_spark.functions.text import char_count
+    from ballet_spark.operators.base import SparkFunctionTransformer
+
+    feats = [
+        Feature(
+            "text", SparkFunctionTransformer(char_count), output="n_chars"
+        )
+    ]
+    out = tmp_path / "out"
+    (out / "snapshot=snap1" / "unit=0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="pre-feature_set"):
+        materialize(
+            spark, webtext_df, feats,
+            str(out), str(tmp_path / "lineage"), "snap1", n_units=2,
+        )
+
+
+def test_decode_jpeg_trailing_fill_bytes_value_error():
+    """ADVICE r5: a stream ending in 0xFF fill bytes raised IndexError
+    from the marker peek instead of the decoder's contractual
+    ValueError."""
+    from ballet_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff")
+
+
+def test_incremental_dedup_seeded_from_exact_dedup_null_text(spark):
+    """ADVICE r5: exact_dedup's oracle-pinned output keys NULL text as
+    content_md5 NULL while the incremental path keys it '' — seeding
+    seen_hashes from exact_dedup output must NOT re-admit a NULL-text
+    row."""
+    from ballet_spark.operators.dedup import exact_dedup, exact_dedup_incremental
+
+    s1 = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "alpha")], "doc_id long, text string"
+    )
+    s2 = spark.createDataFrame(
+        [(10, None), (11, "beta"), (12, "alpha")], "doc_id long, text string"
+    )
+    seed = exact_dedup(s1).select("content_md5")
+    kept, new_hashes = exact_dedup_incremental(s2, seed)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # 10 (NULL text) and 12 ("alpha") were both seen in snapshot 1
+    assert kept_ids == [11]
+    assert new_hashes.count() == 1  # only beta's digest is new
