@@ -2017,60 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     members). The window holds precisely 50; all 34 parked entries
     carry an r04 driver verdict on unchanged code."""
     return {
-        # --- (1) stalest driver verdicts (r03): re-verify first ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "asof_join_purchase": asof_join_purchase,
-        "sessionize_30m": sessionize_30m,
-        "rolling_mean_5": rolling_mean_5,
-        "forward_fill": forward_fill,
-        "window_lag_delta": window_lag_delta,
-        "dedup_exact": dedup_exact,
-        "minhash_lsh_dups": minhash_lsh_dups,
-        "embedding_topk": embedding_topk,
-        "embedding_neardups": embedding_neardups,
-        "quality_scores": quality_scores,
-        "agg_by_nation": agg_by_nation,
-        "topk_docs_per_source": topk_docs_per_source,
-        "cumulative_stats": cumulative_stats,
-        "asof_skew_split": asof_skew_split,
-        "groupwise_mean_impute": groupwise_mean_impute,
-        "standard_scale_value": standard_scale_value,
-        "target_encode_source": target_encode_source,
-        "ordered_target_encode": ordered_target_encode,
-        "token_stats_by_lang": token_stats_by_lang,
-        "lang_id_heuristic": lang_id_heuristic,
-        "simhash_dups": simhash_dups,
-        "embedding_lsh_topk": embedding_lsh_topk,
-        "semi_anti_join": semi_anti_join,
-        "rollup_orders": rollup_orders,
-        "pivot_event_values": pivot_event_values,
-        "range_join_next_hour": range_join_next_hour,
-        "fitted_winsorize": fitted_winsorize,
-        "doc_fingerprints": doc_fingerprints,
-        "discrete_mutual_information": discrete_mutual_information,
-        "boxcox_value": boxcox_value,
-        # --- (2) new or changed this round ---
-        "exactsubstr_dedup_docs": exactsubstr_dedup_docs,
-        "curation_pipeline_v2": curation_pipeline_v2,
-        "pack_sequences_salted_docs": pack_sequences_salted_docs,
-        "semantic_dedup_docs": semantic_dedup_docs,
-        # --- (3) round-4 first-timers + bench-critical re-pins ---
-        "nb_classifier_docs": nb_classifier_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "mixing_weights_docs": mixing_weights_docs,
-        "mixing_resample_docs": mixing_resample_docs,
-        "dedup_paragraphs_docs": dedup_paragraphs_docs,
-        "lm_perplexity_docs": lm_perplexity_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "pii_redaction_docs": pii_redaction_docs,
-        "remove_frequent_segments_docs": remove_frequent_segments_docs,
-        "salted_running_stats": salted_running_stats,
-        "salted_rolling_stats": salted_rolling_stats,
-        "gfssf_select_docs": gfssf_select_docs,
-        "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
-        "dedup_components": dedup_components,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        # --- (4) multiply verified, unchanged: past the window ---
+        # --- (1) stalest driver verdicts (r04, parked two rounds):
+        # re-verify first per the standing rotation policy ---
         "session_stats_30m": session_stats_30m,
         "count_encode_lang": count_encode_lang,
         "ordinal_encode_lang": ordinal_encode_lang,
@@ -2105,6 +2053,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": gopher_quality_filter,
         "repetition_filter_docs": repetition_filter_docs,
         "grouped_apply_normalize": grouped_apply_normalize,
+        # --- (2) engine path changed this round (r06 optimization):
+        # fresh verdicts wanted on the new plans/kernels ---
+        "embedding_neardups": embedding_neardups,
+        "curation_pipeline_v2": curation_pipeline_v2,
+        "nb_classifier_docs": nb_classifier_docs,
+        "minhash_lsh_dups": minhash_lsh_dups,
+        "exactsubstr_dedup_docs": exactsubstr_dedup_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "dedup_components": dedup_components,
+        "pii_redaction_docs": pii_redaction_docs,
+        "remove_frequent_segments_docs": remove_frequent_segments_docs,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "embedding_ivf_fixed_topk": embedding_ivf_fixed_topk,
+        "lm_perplexity_docs": lm_perplexity_docs,
+        "quality_scores": quality_scores,
+        "semantic_dedup_docs": semantic_dedup_docs,
+        "dedup_paragraphs_docs": dedup_paragraphs_docs,
+        "token_stats_by_lang": token_stats_by_lang,
+        # --- (3) r05-verified and unchanged since: past the window ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "asof_join_purchase": asof_join_purchase,
+        "sessionize_30m": sessionize_30m,
+        "rolling_mean_5": rolling_mean_5,
+        "forward_fill": forward_fill,
+        "window_lag_delta": window_lag_delta,
+        "dedup_exact": dedup_exact,
+        "embedding_topk": embedding_topk,
+        "agg_by_nation": agg_by_nation,
+        "topk_docs_per_source": topk_docs_per_source,
+        "cumulative_stats": cumulative_stats,
+        "asof_skew_split": asof_skew_split,
+        "groupwise_mean_impute": groupwise_mean_impute,
+        "standard_scale_value": standard_scale_value,
+        "target_encode_source": target_encode_source,
+        "ordered_target_encode": ordered_target_encode,
+        "lang_id_heuristic": lang_id_heuristic,
+        "simhash_dups": simhash_dups,
+        "semi_anti_join": semi_anti_join,
+        "rollup_orders": rollup_orders,
+        "pivot_event_values": pivot_event_values,
+        "range_join_next_hour": range_join_next_hour,
+        "fitted_winsorize": fitted_winsorize,
+        "doc_fingerprints": doc_fingerprints,
+        "discrete_mutual_information": discrete_mutual_information,
+        "boxcox_value": boxcox_value,
+        "pack_sequences_salted_docs": pack_sequences_salted_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mixing_weights_docs": mixing_weights_docs,
+        "mixing_resample_docs": mixing_resample_docs,
+        "salted_running_stats": salted_running_stats,
+        "salted_rolling_stats": salted_rolling_stats,
+        "gfssf_select_docs": gfssf_select_docs,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
         # oracle-free by necessity: never in a verdict slot
         "embedding_ivf_topk": embedding_ivf_topk,
     }
