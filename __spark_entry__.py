@@ -1715,8 +1715,12 @@ def remove_frequent_segments_docs(spark, sf_dir):
         # condition as the spread — a real multi-split corpus
         # recomputes rather than caching corpus-scale rows. Lifecycle:
         # caller-owned (same documented pattern as curation's gate
-        # persists); the bench clearCache()s between draws.
-        docs = docs.persist()
+        # persists); registered under scope "spread" so
+        # release_caches("spread") / (None) can free it, and the bench
+        # clearCache()s between draws.
+        from ballet_spark.cache import persist_tracked
+
+        docs = persist_tracked(docs, scope="spread")
     out = remove_frequent_lines(
         docs, "t2", sep="\n", min_df=3, out_col="cleaned"
     )
@@ -2003,19 +2007,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value verdict; pytest covers recall/determinism/re-rank). The
     verdict ledger in README.md records which round verified what.
 
-    Round-5 layout: group (1) = the 31 queries parked through round 4
-    whose latest driver verdict is r03 (VERDICT r4 ask #3 — the
-    flagships minhash_lsh_dups / embedding_neardups /
-    asof_join_purchase / q1_pricing_summary among them); group (2) =
-    the three queries ADDED this round (exactsubstr_dedup_docs,
-    curation_pipeline_v2, pack_sequences_salted_docs) plus
-    semantic_dedup_docs, whose ORACLE changed this round (zero-norm
-    cosine guard); group (3) = twelve round-4 first-timers (single r04
-    verdict each) and three bench-critical re-pins
-    (embedding_ivf_fixed_topk, dedup_components,
-    q3_top_revenue_orders — the VERDICT r4 ask #2 trio's oracle-backed
-    members). The window holds precisely 50; all 34 parked entries
-    carry an r04 driver verdict on unchanged code."""
+    Round-6 layout: group (1) = the 34 queries whose latest driver
+    verdict is r04 (parked through the r05 window — the stalest set
+    the r5 verdict's ask #3 names: session_stats_30m, the encoder
+    family, cube_orders, multi_lag_value, the incremental dedups,
+    ts_features_user, dfs_customer_orders, tfidf_top_terms,
+    gopher_quality_filter among them); group (2) = the 16 queries
+    whose ENGINE PATH changed in the r06 optimization round (blockwise
+    bucket verify, round-robin spreads, mapInArrow gram kernels,
+    multi-arg band hashing, share persists, the codegen-capable
+    token_count restore) — r05-green but on different plans, so fresh
+    verdicts are wanted; group (3) = the 34 r05-verified queries whose
+    code is unchanged since. The window holds precisely 50."""
     return {
         # --- (1) stalest driver verdicts (r04, parked two rounds):
         # re-verify first per the standing rotation policy ---

@@ -40,6 +40,14 @@ def release_caches(scope: str | None = "dedup") -> int:
     — dead handles are skipped. The default releases only the
     batch-dedup scope; long-lived serving caches (scope ``"serving"``)
     are released only when named explicitly or with ``None``."""
+    if scope is not None and not isinstance(scope, str):
+        # a SparkSession/DataFrame passed by mistake would silently
+        # release nothing (no registry key ever equals it) — the
+        # stress harness did exactly this for two rounds
+        raise TypeError(
+            f"release_caches expects a scope string or None, got "
+            f"{type(scope).__name__}"
+        )
     scopes = list(_PERSISTED) if scope is None else [scope]
     n = 0
     for sc in scopes:

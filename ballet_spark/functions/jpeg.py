@@ -238,7 +238,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        # same malformed-input contract as the fill-byte check above:
+        # a stream truncated inside the length header (struct.error)
+        # or the segment body must raise ValueError, not leak a parse
+        # primitive's own exception
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment length runs past EOF")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG: segment body runs past EOF")
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0

@@ -94,9 +94,40 @@ def asof_join(
     # differ, unionByName would coerce (e.g. timestamp ∪ string →
     # string) and the as-of ordering silently turns lexicographic —
     # cast both to timestamp instead. The probe's ORIGINAL left_ts
-    # column is carried through untouched either way.
-    lts = F.col(left_ts) if same_ts_type else F.col(left_ts).cast("timestamp")
-    rts = F.col(right_ts) if same_ts_type else F.col(right_ts).cast("timestamp")
+    # column is carried through untouched either way. The cast is
+    # CHECKED (try_cast + explicit raise): a non-ISO string stamp on
+    # one side of a mixed-type pair would otherwise throw an opaque
+    # CAST_INVALID_INPUT mid-job under ANSI or silently NULL (and
+    # match nothing) in legacy mode — same failure class as the
+    # tolerance path below.
+    def _ordering_ts(col, what):
+        ts = col.try_cast("timestamp")
+        return (
+            F.when(
+                col.isNotNull() & ts.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "asof_join: cross-type as-of ordering needs "
+                            f"timestamp-castable ts columns; {what} value '"
+                        ),
+                        col.cast("string"),
+                        F.lit(
+                            "' cannot be cast to timestamp — align the two "
+                            "ts columns' types first"
+                        ),
+                    )
+                ).cast("timestamp"),
+            )
+            .otherwise(ts)
+        )
+
+    lts = F.col(left_ts) if same_ts_type else _ordering_ts(F.col(left_ts), left_ts)
+    rts = (
+        F.col(right_ts)
+        if same_ts_type
+        else _ordering_ts(F.col(right_ts), right_ts)
+    )
 
     l2 = left.select(
         F.col(on),

@@ -473,6 +473,14 @@ def minhash_signatures(
     return hs.select("id", _sig_udf(num_hashes, seed)(F.col("hs")).alias("signature"))
 
 
+# Identity of the band-bucket hash recipe. Stamped onto persisted LSH
+# indexes by save_lsh_index and checked by load_lsh_index: bucket
+# VALUES are a pure function of this recipe, so probing across formats
+# silently finds nothing. Bump whenever _banded_buckets' hashing
+# changes.
+BAND_HASH_FORMAT = "xxh64-multiarg-v2"
+
+
 def _banded_buckets(sig: DataFrame, bands: int, r: int) -> DataFrame:
     """(id, band, bucket) rows from a (id, signature) frame — THE band
     hashing, shared by the one-shot and incremental paths so an index
@@ -1672,12 +1680,35 @@ def save_lsh_index(index: "LshIndex", name: str, n_buckets: int = 64) -> None:
         sort_cols=["band", "bucket"],
     )
     save_bucketed(index.grams, f"{name}_grams", ["id"], n_buckets=n_buckets)
+    # stamp the band-hash format: bucket VALUES are a function of
+    # _banded_buckets' hash recipe, so probing an index written under a
+    # different recipe would silently find nothing — load_lsh_index
+    # refuses instead
+    index.buckets.sparkSession.sql(
+        f"ALTER TABLE {name}_buckets SET TBLPROPERTIES "
+        f"('ballet_spark.band_hash' = '{BAND_HASH_FORMAT}')"
+    )
 
 
 def load_lsh_index(spark, name: str) -> "LshIndex":
     """Load a :func:`save_lsh_index` pair back WITH bucket metadata
     (``spark.table``, not ``read.parquet`` — a raw file read loses the
-    distribution info and reintroduces the index-side shuffle)."""
+    distribution info and reintroduces the index-side shuffle).
+    Refuses an index whose band-hash format stamp is missing or
+    different: its bucket values were produced by another hash recipe,
+    so a probe would silently find nothing."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}_buckets").collect()
+    }
+    fmt = props.get("ballet_spark.band_hash")
+    if fmt != BAND_HASH_FORMAT:
+        raise ValueError(
+            f"LSH index {name!r} was written under band-hash format "
+            f"{fmt!r} but this build probes with {BAND_HASH_FORMAT!r} — "
+            "bucket values are incompatible and every probe would "
+            "silently miss; rebuild the index with save_lsh_index"
+        )
     return LshIndex(
         buckets=spark.table(f"{name}_buckets"),
         grams=spark.table(f"{name}_grams"),

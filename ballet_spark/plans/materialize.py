@@ -235,11 +235,29 @@ def materialize(
             f"materialize reserves output column name(s) {sorted(bad)} "
             "for partition bookkeeping; rename the feature output"
         )
+    done = completed_units(
+        spark, lineage_path, fset, input_snapshot, n_units=n_units
+    )
+    pending = [u for u in range(n_units) if u not in done]
+    if not pending:
+        # fully-materialized re-run (orchestrator retry): nothing to
+        # write, so don't pay the fit's full-source Spark jobs either
+        return {
+            "feature_set": fset,
+            "input_snapshot": input_snapshot,
+            "units_total": n_units,
+            "units_skipped": len(done),
+            "units_computed": 0,
+            "out_path": out_path,
+        }
+
     # old-layout guard (mirrors the n_units mismatch ValueError): the
     # r5 layout partitioned by (snapshot, unit) only; resuming the
     # feature_set-led layout into such a directory would mix two
     # partition trees at one root and fail Spark partition discovery
-    # ("conflicting directory structures") far from the cause
+    # ("conflicting directory structures") far from the cause. Checked
+    # AFTER the fully-materialized early-exit so an idempotent retry
+    # that would write nothing keeps returning its no-op summary.
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(out_path)
@@ -261,21 +279,6 @@ def materialize(
         raise
     except Exception:
         pass  # probe unavailable (e.g. connect-only session)
-    done = completed_units(
-        spark, lineage_path, fset, input_snapshot, n_units=n_units
-    )
-    pending = [u for u in range(n_units) if u not in done]
-    if not pending:
-        # fully-materialized re-run (orchestrator retry): nothing to
-        # write, so don't pay the fit's full-source Spark jobs either
-        return {
-            "feature_set": fset,
-            "input_snapshot": input_snapshot,
-            "units_total": n_units,
-            "units_skipped": len(done),
-            "units_computed": 0,
-            "out_path": out_path,
-        }
 
     pipe = FeatureEngineeringPipeline(
         features, entity_col=entity_col, time_col=time_col

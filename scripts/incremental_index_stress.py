@@ -90,7 +90,7 @@ def one_sequence(spark, batch_docs: int, k: int):
                 df.unpersist()
             except Exception:
                 pass
-        release_caches(spark)  # operator-internal persists only
+        release_caches(None)  # operator-internal persists (all scopes)
         batch.unpersist()
         steps.append(
             {
@@ -146,7 +146,7 @@ def one_sequence_bucketed(spark, batch_docs: int, k: int):
         )
         save_lsh_index(merged, "stress_lsh", n_buckets=16)
         n_index = spark.table("stress_lsh_grams").count()
-        release_caches(spark)
+        release_caches(None)
         batch.unpersist()
         steps.append(
             {
@@ -181,7 +181,7 @@ def main():
             grams=spark.createDataFrame([], "id long, hs array<long>"),
         ),
     )[0].count()
-    release_caches(spark)
+    release_caches(None)
 
     seq = one_sequence_bucketed if bucketed else one_sequence
     runs = [seq(spark, batch_docs, k) for _ in range(reps)]

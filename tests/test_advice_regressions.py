@@ -846,3 +846,97 @@ def test_incremental_dedup_seeded_from_exact_dedup_null_text(spark):
     # 10 (NULL text) and 12 ("alpha") were both seen in snapshot 1
     assert kept_ids == [11]
     assert new_hashes.count() == 1  # only beta's digest is new
+
+
+# --------------------------------------------------------------------
+# r6 review-batch hardenings (post-ADVICE code review of the round)
+# --------------------------------------------------------------------
+
+
+def test_lsh_index_band_hash_format_stamp(spark):
+    """A persisted index carries the band-hash format stamp; loading
+    one stamped under another recipe (or unstamped, i.e. pre-r6) must
+    refuse instead of silently probing nothing."""
+    from ballet_spark.operators.dedup import (
+        minhash_lsh_index,
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    idx = minhash_lsh_index(docs, num_hashes=8, bands=4)
+    save_lsh_index(idx, "fmt_stamp_test", n_buckets=4)
+    assert load_lsh_index(spark, "fmt_stamp_test").buckets.count() >= 0
+    spark.sql(
+        "ALTER TABLE fmt_stamp_test_buckets SET TBLPROPERTIES "
+        "('ballet_spark.band_hash' = 'legacy-concat-v1')"
+    )
+    with pytest.raises(ValueError, match="band-hash format"):
+        load_lsh_index(spark, "fmt_stamp_test")
+    for t in ("fmt_stamp_test_buckets", "fmt_stamp_test_grams"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_decode_jpeg_truncated_segment_header_value_error():
+    from ballet_spark.functions.jpeg import decode_jpeg
+
+    # marker 0xDB then a 1-byte remainder: length header truncated
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00")
+    # full header but body runs past EOF
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x43\x00")
+
+
+def test_materialize_fully_done_old_layout_stays_noop(
+    spark, webtext_df, tmp_path
+):
+    """The old-layout guard must not break the idempotent
+    fully-materialized retry: if nothing would be written, a stray
+    old-layout directory at the root is not an error."""
+    from ballet_spark.core import Feature
+    from ballet_spark.functions.text import char_count
+    from ballet_spark.operators.base import SparkFunctionTransformer
+    from ballet_spark.plans.materialize import materialize
+
+    feats = [
+        Feature("text", SparkFunctionTransformer(char_count), output="n_chars")
+    ]
+    out = tmp_path / "out"
+    materialize(
+        spark, webtext_df, feats,
+        str(out), str(tmp_path / "lin"), "snap1", n_units=2,
+    )
+    # simulate a leftover pre-feature_set tree at the same root
+    (out / "snapshot=legacy" / "unit=0").mkdir(parents=True)
+    res = materialize(
+        spark, webtext_df, feats,
+        str(out), str(tmp_path / "lin"), "snap1", n_units=2,
+    )
+    assert res["units_computed"] == 0 and res["units_skipped"] == 2
+
+
+def test_release_caches_rejects_non_string_scope(spark):
+    from ballet_spark.cache import release_caches
+
+    with pytest.raises(TypeError, match="scope string"):
+        release_caches(spark)
+
+
+def test_asof_mixed_type_non_castable_string_ts_raises_clearly(spark):
+    """Cross-type ordering cast: a WARC-style stamp on one side of a
+    mixed-type ts pair must raise the operator's clear error, not an
+    opaque ANSI cast failure (or a silent no-match in legacy mode)."""
+    from ballet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "20240102000000")], "url string, ts string"
+    )
+    right = spark.createDataFrame(
+        [("a", 1.0, 7.0)], "url string, sec double, val double"
+    ).select("url", F.timestamp_seconds("sec").alias("warc_ts"), "val")
+    with pytest.raises(Exception, match="timestamp-castable"):
+        asof_join(left, right).collect()

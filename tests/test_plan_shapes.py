@@ -462,7 +462,7 @@ def test_lsh_index_bucketed_probe_has_no_index_side_exchange(spark):
             assert pairs.count() >= 5  # each batch doc matches its twin
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        release_caches(spark)
+        release_caches(None)
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_t_buckets")
         spark.sql("DROP TABLE IF EXISTS lsh_t_grams")
@@ -498,7 +498,7 @@ def test_lsh_index_save_load_roundtrip(spark):
         assert sorted(map(tuple, p_mem.collect())) == sorted(
             map(tuple, p_disk.collect())
         )
-        release_caches(spark)
+        release_caches(None)
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_rt_buckets")
         spark.sql("DROP TABLE IF EXISTS lsh_rt_grams")
